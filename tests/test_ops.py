@@ -1,0 +1,143 @@
+"""Numerical tests for core ops: attention, norms, pooling, resize.
+
+Pooling/resize are golden-tested against torch (CPU) for the bit-parity
+contract (SURVEY.md §7.4)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoglamm_tpu.ops import (adaptive_avg_pool2d, dot_product_attention,
+                                layer_norm, resize_bilinear, resize_nearest,
+                                rms_norm)
+from videoglamm_tpu.ops.attention import _attention_xla, _flash_fwd
+from videoglamm_tpu.ops.pooling import adaptive_pool_tokens
+
+
+def test_attention_matches_naive_softmax():
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(2, 4, 64, 32), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 4, 80, 32), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 4, 80, 32), jnp.float32)
+    out = dot_product_attention(q, k, v)
+    logits = np.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(32)
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    ref = np.einsum("bhqk,bhkd->bhqd", probs, v)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_attention_causal_and_kvlens():
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
+    kv_lens = jnp.array([16, 10], jnp.int32)
+    out = dot_product_attention(q, k, v, causal=True, kv_lens=kv_lens)
+    # row 0 of a causal attention only sees col 0
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), np.asarray(v[0, 0, 0]),
+                               atol=1e-6)
+    # batch 1 must ignore keys >= 10: perturbing them changes nothing
+    k2 = k.at[1, :, 12:].set(99.0)
+    v2 = v.at[1, :, 12:].set(99.0)
+    out2 = dot_product_attention(q, k2, v2, causal=True, kv_lens=kv_lens)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out2[1]), atol=1e-6)
+
+
+def test_flash_kernel_interpret_matches_xla():
+    """Run the Pallas kernel in interpret mode on CPU vs the XLA path."""
+    from jax.experimental import pallas  # noqa
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(1, 2, 256, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 384, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 384, 64), jnp.float32)
+    kv_lens = jnp.array([300], jnp.int32)
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        out = _flash_fwd(q, k, v, kv_lens, causal=True, sm_scale=0.125)
+    ref = _attention_xla(q, k, v, causal=True, sm_scale=0.125,
+                         kv_lens=kv_lens, bias=None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_rms_norm():
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(32), jnp.float32)
+    out = rms_norm(x, w, eps=1e-6)
+    xf = np.asarray(x)
+    ref = xf / np.sqrt((xf ** 2).mean(-1, keepdims=True) + 1e-6) * np.asarray(w)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_layer_norm_matches_torch():
+    import torch
+    rng = np.random.RandomState(4)
+    x = rng.randn(3, 17).astype(np.float32)
+    w = rng.randn(17).astype(np.float32)
+    b = rng.randn(17).astype(np.float32)
+    out = layer_norm(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), eps=1e-5)
+    ref = torch.nn.functional.layer_norm(
+        torch.from_numpy(x), (17,), torch.from_numpy(w), torch.from_numpy(b),
+        eps=1e-5).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((16, 16), (8, 8)),
+                                          ((24, 24), (12, 12)),
+                                          ((17, 13), (5, 7))])
+def test_adaptive_avg_pool_matches_torch(in_hw, out_hw):
+    import torch
+    rng = np.random.RandomState(5)
+    x = rng.randn(2, 3, *in_hw).astype(np.float32)  # NCHW for torch
+    ref = torch.nn.functional.adaptive_avg_pool2d(
+        torch.from_numpy(x), out_hw).numpy()
+    x_jax = jnp.moveaxis(jnp.asarray(x), 1, -1)  # NHWC
+    out = adaptive_avg_pool2d(x_jax, out_hw)
+    out = np.moveaxis(np.asarray(out), -1, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_adaptive_pool_tokens():
+    rng = np.random.RandomState(6)
+    tokens = jnp.asarray(rng.randn(2, 256, 8), jnp.float32)
+    out = adaptive_pool_tokens(tokens, (8, 8))
+    assert out.shape == (2, 64, 8)
+    # 16x16 -> 8x8 is an exact 2x2 mean
+    grid = np.asarray(tokens).reshape(2, 16, 16, 8)
+    ref = grid.reshape(2, 8, 2, 8, 2, 8).mean(axis=(2, 4)).reshape(2, 64, 8)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((7, 9), (20, 14)),
+                                          ((64, 64), (37, 41)),
+                                          ((256, 256), (100, 180))])
+def test_resize_bilinear_matches_torch(in_hw, out_hw):
+    import torch
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 3, *in_hw).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), out_hw, mode="bilinear",
+        align_corners=False).numpy()
+    out = resize_bilinear(jnp.asarray(x), out_hw, channels_last=False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-4, rtol=1e-4)
+
+
+def test_resize_nearest_matches_torch():
+    import torch
+    rng = np.random.RandomState(8)
+    x = rng.randn(1, 2, 13, 17).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), (29, 7), mode="nearest").numpy()
+    out = resize_nearest(jnp.asarray(x), (29, 7), channels_last=False)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-6)
+
+
+def test_attention_grad_flows():
+    rng = np.random.RandomState(9)
+    q = jnp.asarray(rng.randn(1, 2, 8, 4), jnp.float32)
+    k = jnp.asarray(rng.randn(1, 2, 8, 4), jnp.float32)
+    v = jnp.asarray(rng.randn(1, 2, 8, 4), jnp.float32)
+    g = jax.grad(lambda q_: dot_product_attention(q_, k, v, causal=True).sum())(q)
+    assert np.isfinite(np.asarray(g)).all()

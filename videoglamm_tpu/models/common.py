@@ -1,0 +1,136 @@
+"""Shared flax building blocks used across towers / decoders."""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..ops import dot_product_attention, layer_norm, rms_norm
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with f32 statistics (torch-parity semantics)."""
+    eps: float = 1e-5
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        w = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (d,), jnp.float32) \
+            if self.use_bias else None
+        return layer_norm(x, w, b, eps=self.eps)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        w = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        return rms_norm(x, w, eps=self.eps)
+
+
+class Dense(nn.Module):
+    """nn.Dense with configurable compute dtype, f32 params."""
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    kernel_init: Callable = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.features, use_bias=self.use_bias,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=self.kernel_init)(x)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA over [B, S, D] built on the framework attention op
+    (Pallas flash on TPU)."""
+    num_heads: int
+    head_dim: Optional[int] = None
+    qkv_bias: bool = True
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context=None, *, causal: bool = False,
+                 kv_lens=None, bias=None):
+        context = x if context is None else context
+        d = x.shape[-1]
+        hd = self.head_dim or d // self.num_heads
+        inner = self.num_heads * hd
+
+        q = Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                  name="q_proj")(x)
+        k = Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                  name="k_proj")(context)
+        v = Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
+                  name="v_proj")(context)
+
+        def split(t, s):
+            return t.reshape(t.shape[0], s, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+        o = dot_product_attention(split(q, x.shape[1]),
+                                  split(k, context.shape[1]),
+                                  split(v, context.shape[1]),
+                                  causal=causal, kv_lens=kv_lens, bias=bias)
+        o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
+        return Dense(d, use_bias=self.out_bias, dtype=self.dtype,
+                     name="out_proj")(o)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: Optional[int] = None
+    activation: Callable = nn.gelu
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        out_dim = self.out_dim or x.shape[-1]
+        h = Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        h = self.activation(h)
+        return Dense(out_dim, dtype=self.dtype, name="fc2")(h)
+
+
+class MLPBlock(nn.Module):
+    """N-layer MLP with ReLU between layers (SAM-style heads)."""
+    hidden_dim: int
+    out_dim: int
+    num_layers: int
+    sigmoid_output: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            last = i == self.num_layers - 1
+            dim = self.out_dim if last else self.hidden_dim
+            x = Dense(dim, dtype=self.dtype, name=f"layers_{i}")(x)
+            if not last:
+                x = jax.nn.relu(x)
+        if self.sigmoid_output:
+            x = jax.nn.sigmoid(x)
+        return x
+
+
+def patchify_conv(x, kernel, bias, patch: int):
+    """Non-overlapping patch embedding as a reshaped matmul (MXU-friendly;
+    avoids conv for stride==kernel). x: [B, H, W, C], kernel: [p, p, C, D]."""
+    B, H, W, C = x.shape
+    p = patch
+    D = kernel.shape[-1]
+    x = x.reshape(B, H // p, p, W // p, p, C).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(B, (H // p) * (W // p), p * p * C)
+    w = kernel.reshape(p * p * C, D)
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    y = y.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y  # [B, L, D]

@@ -1,0 +1,83 @@
+"""Image resize with exact torch F.interpolate semantics.
+
+The reference resizes masks/frames with F.interpolate(mode='bilinear',
+align_corners=False) everywhere (e.g. /root/reference/VideoGLaMM/model/
+VideoGLaMM.py:152 and sam_transforms). Bit-comparable mask outputs require
+matching its half-pixel sampling + edge clamping, which we implement as two
+separable 1-D gathers expressed as sparse matmuls (MXU-friendly for the
+1024->orig_hw mask upsamples).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=256)
+def _linear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Row-stochastic matrix implementing 1-D linear interpolation with
+    half-pixel centers (align_corners=False) and edge clamping."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    scale = in_size / out_size
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        src = min(max(src, 0.0), in_size - 1.0)
+        lo = int(np.floor(src))
+        hi = min(lo + 1, in_size - 1)
+        w = src - lo
+        m[i, lo] += 1.0 - w
+        m[i, hi] += w
+    return m
+
+
+@functools.lru_cache(maxsize=256)
+def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Torch F.interpolate(mode='nearest'): src = floor(i * in/out)."""
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    for i in range(out_size):
+        src = min(int(i * in_size / out_size), in_size - 1)
+        m[i, src] = 1.0
+    return m
+
+
+def _apply_separable(x, mh, mw):
+    """x: [..., H, W, C]."""
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum("oh,...hwc->...owc", mh, xf)
+    y = jnp.einsum("pw,...owc->...opc", mw, y)
+    return y
+
+
+def resize_bilinear(x, out_hw, channels_last: bool = True):
+    """Bilinear resize matching torch align_corners=False.
+
+    x: [..., H, W, C] (channels_last) or [..., H, W] when the trailing dim is
+    spatial; pass channels_last=False for [..., C, H, W]."""
+    oh, ow = out_hw
+    if not channels_last:
+        x = jnp.moveaxis(x, -3, -1)
+    H, W = x.shape[-3], x.shape[-2]
+    mh = jnp.asarray(_linear_matrix(H, oh))
+    mw = jnp.asarray(_linear_matrix(W, ow))
+    y = _apply_separable(x, mh, mw).astype(x.dtype)
+    if not channels_last:
+        y = jnp.moveaxis(y, -1, -3)
+    return y
+
+
+def resize_nearest(x, out_hw, channels_last: bool = True):
+    oh, ow = out_hw
+    if not channels_last:
+        x = jnp.moveaxis(x, -3, -1)
+    H, W = x.shape[-3], x.shape[-2]
+    mh = jnp.asarray(_nearest_matrix(H, oh))
+    mw = jnp.asarray(_nearest_matrix(W, ow))
+    y = _apply_separable(x, mh, mw).astype(x.dtype)
+    if not channels_last:
+        y = jnp.moveaxis(y, -1, -3)
+    return y

@@ -1,0 +1,7 @@
+from .mesh import create_mesh, local_mesh, DATA_AXIS, MODEL_AXIS
+from .partitioning import (
+    param_partition_spec,
+    shard_params,
+    with_sharding,
+    zero_partition_spec,
+)
