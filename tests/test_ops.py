@@ -32,16 +32,25 @@ def test_attention_causal_and_kvlens():
     q = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
     k = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
     v = jnp.asarray(rng.randn(2, 2, 16, 8), jnp.float32)
-    kv_lens = jnp.array([16, 10], jnp.int32)
-    out = dot_product_attention(q, k, v, causal=True, kv_lens=kv_lens)
+    out = dot_product_attention(q, k, v, causal=True)
     # row 0 of a causal attention only sees col 0
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]), np.asarray(v[0, 0, 0]),
                                atol=1e-6)
-    # batch 1 must ignore keys >= 10: perturbing them changes nothing
+    # kv_lens semantics: queries are the last Sq valid keys. With a 16-slot
+    # buffer holding 10 valid keys and 2 queries, perturbing slots >= 10
+    # changes nothing, and the queries align to absolute positions 8..9.
+    kv_lens = jnp.array([16, 10], jnp.int32)
+    q2 = q[:, :, :2]
+    outl = dot_product_attention(q2, k, v, causal=True, kv_lens=kv_lens)
     k2 = k.at[1, :, 12:].set(99.0)
     v2 = v.at[1, :, 12:].set(99.0)
-    out2 = dot_product_attention(q, k2, v2, causal=True, kv_lens=kv_lens)
-    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(out2[1]), atol=1e-6)
+    outl2 = dot_product_attention(q2, k2, v2, causal=True, kv_lens=kv_lens)
+    np.testing.assert_allclose(np.asarray(outl[1]), np.asarray(outl2[1]),
+                               atol=1e-6)
+    # batch 1 query 0 sits at absolute pos 8 -> attends exactly keys 0..8
+    ref = dot_product_attention(q2[1:, :, 0:1], k[1:, :, :9], v[1:, :, :9])
+    np.testing.assert_allclose(np.asarray(outl[1, :, 0]),
+                               np.asarray(ref[0, :, 0]), atol=1e-5)
 
 
 def test_flash_kernel_interpret_matches_xla():

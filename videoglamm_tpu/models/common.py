@@ -35,18 +35,15 @@ class RMSNorm(nn.Module):
         return rms_norm(x, w, eps=self.eps)
 
 
-class Dense(nn.Module):
-    """nn.Dense with configurable compute dtype, f32 params."""
-    features: int
-    use_bias: bool = True
-    dtype: jnp.dtype = jnp.bfloat16
-    kernel_init: Callable = nn.initializers.lecun_normal()
+def Dense(features, use_bias=True, dtype=jnp.bfloat16, name=None,
+          kernel_init=nn.initializers.lecun_normal()):
+    """nn.Dense factory with f32 params + configurable compute dtype.
 
-    @nn.compact
-    def __call__(self, x):
-        return nn.Dense(self.features, use_bias=self.use_bias,
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=self.kernel_init)(x)
+    A factory (not a wrapper module) keeps param paths flat
+    (`<name>/kernel`), which the torch-checkpoint importers rely on."""
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype,
+                    param_dtype=jnp.float32, kernel_init=kernel_init,
+                    name=name)
 
 
 class MultiHeadAttention(nn.Module):

@@ -1,0 +1,170 @@
+"""Phi-3-mini decoder with a static KV cache.
+
+Behavioral contract from the reference LLM wrapper
+(/root/reference/VideoGLaMM/model/videogpt_plus/model/language_model/phi3.py:10-146,
+which wraps HF Phi3ForCausalLM): fused qkv_proj / gate_up_proj projections,
+full-head RoPE (theta 1e4), RMSNorm, untied lm_head.
+
+TPU-first redesign vs the reference:
+- The reference decodes with use_cache=False — it recomputes the full 3.3k
+  token prefix for EVERY generated token (reference model/VideoGLaMM.py:798).
+  Here generation is prefill + cached decode over a static-shape KV cache
+  (see inference/generate.py), the single biggest inference win (SURVEY §7.1).
+- Layers run under `nn.scan` (stacked params): one compiled layer body,
+  fast compiles, and a stacked layout that shards cleanly over the mesh.
+- Visual splicing is a static gather (`multimodal.splice_visual_prefix`)
+  instead of the reference's per-sample Python list surgery (arch.py:256-552).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ..config import Phi3Config
+from ..ops import dot_product_attention
+from ..ops.rope import apply_rope, rope_cos_sin
+from .common import Dense, RMSNorm
+
+
+def init_kv_cache(cfg: Phi3Config, batch: int, max_len: int,
+                  extra_vocab: int = 0, dtype=jnp.bfloat16):
+    """Static-shape KV cache: [L, B, max_len, Hkv, hd] (+ per-row lengths)."""
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+    }
+
+
+class Phi3DecoderLayer(nn.Module):
+    cfg: Phi3Config
+    causal: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, positions, cache_k, cache_v, kv_lens):
+        """x: [B, S, D]; positions: [B, S]; kv_lens: [B] (total valid KV after
+        this block's tokens are appended); cache_k/v: [B, C, Hkv, hd] or None.
+
+        Returns (y, new_cache_k, new_cache_v)."""
+        cfg = self.cfg
+        B, S, _ = x.shape
+        nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        h = RMSNorm(eps=cfg.rms_norm_eps, name="input_layernorm")(x)
+        qkv = Dense((nh + 2 * nkv) * hd, use_bias=False, dtype=self.dtype,
+                    name="qkv_proj")(h)
+        q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)    # [B,nh,S,hd]
+        k = k.reshape(B, S, nkv, hd)                          # [B,S,nkv,hd]
+        v = v.reshape(B, S, nkv, hd)
+
+        cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)  # [B,S,hd]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+
+        if cache_k is not None:
+            start = kv_lens - S
+            idx = start[:, None] + jnp.arange(S)[None, :]      # [B,S]
+            bidx = jnp.arange(B)[:, None]
+            cache_k = cache_k.at[bidx, idx].set(k.astype(cache_k.dtype))
+            cache_v = cache_v.at[bidx, idx].set(v.astype(cache_v.dtype))
+            k_att = cache_k.transpose(0, 2, 1, 3)              # [B,nkv,C,hd]
+            v_att = cache_v.transpose(0, 2, 1, 3)
+        else:
+            k_att = k.transpose(0, 2, 1, 3)
+            v_att = v.transpose(0, 2, 1, 3)
+
+        if nkv != nh:
+            rep = nh // nkv
+            k_att = jnp.repeat(k_att, rep, axis=1)
+            v_att = jnp.repeat(v_att, rep, axis=1)
+
+        o = dot_product_attention(q, k_att, v_att, causal=self.causal,
+                                  kv_lens=kv_lens)
+        o = o.transpose(0, 2, 1, 3).reshape(B, S, nh * hd)
+        o = Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                  name="o_proj")(o)
+        x = x + o
+
+        h = RMSNorm(eps=cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+        gu = Dense(2 * cfg.intermediate_size, use_bias=False, dtype=self.dtype,
+                   name="gate_up_proj")(h)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        h = jax.nn.silu(gate) * up
+        h = Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
+                  name="down_proj")(h)
+        return x + h, cache_k, cache_v
+
+
+class Phi3Model(nn.Module):
+    """Decoder stack over input embeddings. Embedding lookup is separate so
+    visual features can be spliced in before the stack."""
+    cfg: Phi3Config
+    causal: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, embeds, positions, kv_lens, cache=None):
+        cfg = self.cfg
+        layer_cls = Phi3DecoderLayer
+        if self.remat:
+            layer_cls = nn.remat(layer_cls, prevent_cse=False)
+        layer = layer_cls(cfg, causal=self.causal, dtype=self.dtype,
+                          name="layers")
+
+        if cache is not None:
+            def body(mdl, carry, xs):
+                y, nk, nv = mdl(carry, positions, xs[0], xs[1], kv_lens)
+                return y, (nk, nv)
+            scan = nn.scan(body, variable_axes={"params": 0},
+                           split_rngs={"params": True}, length=cfg.num_layers)
+            x, (nk, nv) = scan(layer, embeds, (cache["k"], cache["v"]))
+            new_cache = {"k": nk, "v": nv}
+        else:
+            def body(mdl, carry, xs):
+                y, _, _ = mdl(carry, positions, None, None, kv_lens)
+                return y, None
+            scan = nn.scan(body, variable_axes={"params": 0},
+                           split_rngs={"params": True}, length=cfg.num_layers)
+            x, _ = scan(layer, embeds, None)
+            new_cache = None
+
+        x = RMSNorm(eps=cfg.rms_norm_eps, name="norm")(x)
+        return x, new_cache
+
+
+class Phi3ForCausalLM(nn.Module):
+    """Embedding + decoder + lm_head. `extra_vocab` appends embedding/lm_head
+    rows for added tokens ([SEG]), mirroring the reference's
+    resize_token_embeddings (train_ds_with_videogptplus.py:297-300)."""
+    cfg: Phi3Config
+    extra_vocab: int = 0
+    dtype: jnp.dtype = jnp.bfloat16
+    remat: bool = False
+
+    def setup(self):
+        vocab = self.cfg.vocab_size + self.extra_vocab
+        self.embed_tokens = nn.Embed(vocab, self.cfg.hidden_size,
+                                     param_dtype=jnp.float32,
+                                     dtype=self.dtype)
+        self.model = Phi3Model(self.cfg, dtype=self.dtype, remat=self.remat)
+        self.lm_head = nn.Dense(vocab, use_bias=False, dtype=self.dtype,
+                                param_dtype=jnp.float32)
+
+    def embed(self, input_ids):
+        """Token embedding; negative placeholder ids (IMAGE_TOKEN_INDEX) are
+        clamped — their rows get replaced by visual features."""
+        return self.embed_tokens(jnp.maximum(input_ids, 0))
+
+    def __call__(self, embeds, positions, kv_lens, cache=None):
+        hidden, new_cache = self.model(embeds, positions, kv_lens, cache)
+        logits = self.lm_head(hidden)
+        return logits, hidden, new_cache
+
+    def forward_ids(self, input_ids, positions, kv_lens, cache=None):
+        """Pure-text forward from token ids (also the init path: touches
+        embed_tokens + decoder + lm_head)."""
+        return self(self.embed(input_ids), positions, kv_lens, cache)

@@ -40,9 +40,14 @@ def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     if causal:
-        qi = jnp.arange(Sq)[:, None] + (Sk - Sq)
-        ki = jnp.arange(Sk)[None, :]
-        logits = jnp.where(qi >= ki, logits, NEG_INF)
+        # Queries are the LAST Sq valid tokens of the KV sequence: when a
+        # cache buffer is longer than the valid length, alignment uses
+        # kv_lens, not the buffer size.
+        offs = (kv_lens - Sq) if kv_lens is not None \
+            else jnp.full((B,), Sk - Sq, jnp.int32)
+        qi = jnp.arange(Sq)[None, :, None] + offs[:, None, None]  # [B,Sq,1]
+        ki = jnp.arange(Sk)[None, None, :]
+        logits = jnp.where((qi >= ki)[:, None], logits, NEG_INF)
     if kv_lens is not None:
         valid = jnp.arange(Sk)[None, :] < kv_lens[:, None]  # [B, Sk]
         logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
@@ -56,7 +61,7 @@ def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
 # ---------------------------------------------------------------------------
 def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
                   *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                  q_offset: int):
+                  sq: int):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -68,12 +73,15 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
 
     i = pl.program_id(1)
     kv_len = kvlen_ref[pl.program_id(0)]
+    # queries are the last `sq` valid tokens of the KV sequence
+    q_offset = kv_len - sq
 
     q_start = i * block_q
     k_start = j * block_k
 
     # Skip blocks that are fully masked out.
-    causal_live = (not causal) or (q_start + q_offset + block_q - 1 >= k_start)
+    causal_live = True if not causal else (
+        q_start + q_offset + block_q - 1 >= k_start)
     len_live = k_start < kv_len
 
     @pl.when(jnp.logical_and(causal_live, len_live))
@@ -139,7 +147,7 @@ def _flash_fwd(q, k, v, kv_lens, *, causal, sm_scale, block_q=128, block_k=128):
     grid = (B * H, Sqp // block_q, Skp // block_k)
     kernel = functools.partial(
         _flash_kernel, causal=causal, sm_scale=sm_scale,
-        block_q=block_q, block_k=block_k, q_offset=Sk - Sq)
+        block_q=block_q, block_k=block_k, sq=Sq)
 
     out = pl.pallas_call(
         kernel,
