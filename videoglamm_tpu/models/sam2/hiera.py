@@ -1,0 +1,185 @@
+"""Hiera hierarchical windowed ViT trunk (SAM-2 image encoder).
+
+Behavioral contract from the reference
+(/root/reference/VideoGLaMM/model/segment_anything_2/sam2/modeling/backbones/
+hieradet.py:23-295; config sam2_configs/sam2_hiera_l.yaml:8-17): 4 stages with
+dim/head doubling, window attention (window spec per stage, global attention
+at 3 designated blocks), max-pool Q-downsampling at the 3 stage transitions,
+windowed background+window position embedding, intermediate features returned
+at every stage end.
+
+TPU-first notes: all window partitions are static reshapes (feature sizes
+divide the window sizes for the supported image sizes); attention flows
+through the shared attention op (Pallas flash on TPU: windows fold into the
+batch dim, global blocks are 4096-token attention); everything is
+channels-last.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ...config import HieraConfig
+from ...ops import dot_product_attention
+from ...ops.resize import resize_bilinear
+from ..common import Dense, LayerNorm, Mlp
+
+
+def window_partition(x, ws: int):
+    """[B, H, W, C] -> [B*nW, ws, ws, C] with zero padding to multiples."""
+    B, H, W, C = x.shape
+    pad_h = (-H) % ws
+    pad_w = (-W) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    Hp, Wp = H + pad_h, W + pad_w
+    x = x.reshape(B, Hp // ws, ws, Wp // ws, ws, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, C)
+    return x, (Hp, Wp)
+
+
+def window_unpartition(wins, ws: int, pad_hw, hw):
+    Hp, Wp = pad_hw
+    H, W = hw
+    B = wins.shape[0] // ((Hp // ws) * (Wp // ws))
+    x = wins.reshape(B, Hp // ws, Wp // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hp, Wp, -1)
+    return x[:, :H, :W]
+
+
+def _max_pool_2x(x):
+    """2x2 max pool stride 2, channels-last."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    return x.max(axis=(2, 4))
+
+
+class MultiScaleAttention(nn.Module):
+    dim_out: int
+    num_heads: int
+    q_pool: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, _ = x.shape
+        nh = self.num_heads
+        hd = self.dim_out // nh
+        qkv = Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, H * W, 3, nh, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        if self.q_pool:
+            q = _max_pool_2x(q.reshape(B, H, W, nh * hd))
+            H, W = q.shape[1], q.shape[2]
+            q = q.reshape(B, H * W, nh, hd)
+
+        o = dot_product_attention(q.transpose(0, 2, 1, 3),
+                                  k.transpose(0, 2, 1, 3),
+                                  v.transpose(0, 2, 1, 3))
+        o = o.transpose(0, 2, 1, 3).reshape(B, H, W, nh * hd)
+        return Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
+
+
+class MultiScaleBlock(nn.Module):
+    dim: int
+    dim_out: int
+    num_heads: int
+    mlp_ratio: float
+    window_size: int      # 0 => global attention
+    q_pool: bool = False  # stage-transition block: 2x2 maxpool on queries
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        shortcut = x
+        x = LayerNorm(eps=1e-6, name="norm1")(x)
+
+        if self.dim != self.dim_out:
+            shortcut = Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+            if self.q_pool:
+                shortcut = _max_pool_2x(shortcut)
+
+        ws = self.window_size
+        H, W = x.shape[1], x.shape[2]
+        if ws > 0:
+            x, pad_hw = window_partition(x, ws)
+
+        x = MultiScaleAttention(self.dim_out, self.num_heads,
+                                q_pool=self.q_pool, dtype=self.dtype,
+                                name="attn")(x)
+        if self.q_pool:
+            ws = ws // 2
+            H, W = shortcut.shape[1], shortcut.shape[2]
+            pad_hw = (H + (-H) % max(ws, 1), W + (-W) % max(ws, 1))
+        if self.window_size > 0:
+            x = window_unpartition(x, ws, pad_hw, (H, W))
+
+        x = shortcut + x
+        h = LayerNorm(eps=1e-6, name="norm2")(x)
+        h = Mlp(int(self.dim_out * self.mlp_ratio), dtype=self.dtype,
+                name="mlp")(h)
+        return x + h
+
+
+class Hiera(nn.Module):
+    cfg: HieraConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        """x: [B, H, W, 3] -> list of per-stage features (channels-last),
+        highest resolution first."""
+        cfg = self.cfg
+        x = nn.Conv(cfg.embed_dim, (cfg.patch_kernel, cfg.patch_kernel),
+                    strides=(cfg.patch_stride, cfg.patch_stride),
+                    padding=[(cfg.patch_padding,) * 2] * 2,
+                    dtype=self.dtype, param_dtype=jnp.float32,
+                    name="patch_embed")(x.astype(self.dtype))
+        B, H, W, _ = x.shape
+
+        # windowed background + window position embedding (reference
+        # hieradet.py:267-276): background PE bicubically resized to (H, W)
+        # plus a tiled window PE. We use bilinear resize for the background
+        # term (bicubic differs negligibly for a learned background PE).
+        pos_bkg = self.param("pos_embed", nn.initializers.zeros,
+                             (cfg.window_pos_embed_bkg_spatial_size[0],
+                              cfg.window_pos_embed_bkg_spatial_size[1],
+                              cfg.embed_dim), jnp.float32)
+        w0 = cfg.window_spec[0]
+        pos_win = self.param("pos_embed_window", nn.initializers.zeros,
+                             (w0, w0, cfg.embed_dim), jnp.float32)
+        pe = resize_bilinear(pos_bkg[None], (H, W))[0]
+        pe = pe + jnp.tile(pos_win, (H // w0, W // w0, 1))
+        x = x + pe.astype(x.dtype)
+
+        stages = cfg.stages
+        depth = sum(stages)
+        stage_ends = [sum(stages[:i]) - 1 for i in range(1, len(stages) + 1)]
+        q_pool_blocks = [e + 1 for e in stage_ends[:-1]][:cfg.q_pool]
+
+        dim = cfg.embed_dim
+        heads = cfg.num_heads
+        cur_stage = 1
+        outputs = []
+        for i in range(depth):
+            dim_out = dim
+            window_size = cfg.window_spec[cur_stage - 1]
+            if i in cfg.global_att_blocks:
+                window_size = 0
+            if i - 1 in stage_ends:
+                dim_out = int(dim * cfg.dim_mul)
+                heads = int(heads * cfg.head_mul)
+                cur_stage += 1
+            x = MultiScaleBlock(dim=dim, dim_out=dim_out, num_heads=heads,
+                                mlp_ratio=cfg.mlp_ratio,
+                                window_size=window_size,
+                                q_pool=(i in q_pool_blocks),
+                                dtype=self.dtype, name=f"blocks_{i}")(x)
+            dim = dim_out
+            if i in stage_ends:
+                outputs.append(x)
+        return outputs

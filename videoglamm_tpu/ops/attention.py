@@ -32,7 +32,8 @@ NEG_INF = -1e30
 # XLA reference implementation (CPU path + VJP backward)
 # ---------------------------------------------------------------------------
 def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
-                   kv_lens: Optional[jax.Array], bias: Optional[jax.Array]):
+                   kv_lens: Optional[jax.Array], bias: Optional[jax.Array],
+                   kv_mask: Optional[jax.Array] = None):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
@@ -51,6 +52,8 @@ def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
     if kv_lens is not None:
         valid = jnp.arange(Sk)[None, :] < kv_lens[:, None]  # [B, Sk]
         logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, v.astype(jnp.float32))
     return out.astype(q.dtype)
@@ -215,21 +218,24 @@ def flash_attention(q, k, v, *, causal: bool = False,
 # ---------------------------------------------------------------------------
 def dot_product_attention(q, k, v, *, causal: bool = False,
                           kv_lens: Optional[jax.Array] = None,
+                          kv_mask: Optional[jax.Array] = None,
                           bias: Optional[jax.Array] = None,
                           sm_scale: Optional[float] = None,
                           force_xla: bool = False):
     """Attention entrypoint used by all model stacks.
 
     Uses the Pallas flash kernel on TPU for long sequences; falls back to the
-    XLA implementation on CPU, for biased attention (small decoders), and for
-    short sequences where a fused XLA softmax wins.
+    XLA implementation on CPU, for biased/per-token-masked attention (small
+    decoders + memory attention), and for short sequences where a fused XLA
+    softmax wins. kv_mask: [B, Sk] bool — True = attendable.
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     on_tpu = jax.default_backend() == "tpu"
     long_enough = q.shape[2] >= 128 and k.shape[2] >= 128
-    if force_xla or bias is not None or not on_tpu or not long_enough:
+    if (force_xla or bias is not None or kv_mask is not None or not on_tpu
+            or not long_enough):
         return _attention_xla(q, k, v, causal=causal, sm_scale=sm_scale,
-                              kv_lens=kv_lens, bias=bias)
+                              kv_lens=kv_lens, bias=bias, kv_mask=kv_mask)
     return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens,
                            sm_scale=sm_scale)
