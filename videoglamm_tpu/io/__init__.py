@@ -1,1 +1,2 @@
-from .import_torch import import_phi3, t2j
+from .import_torch import (import_clip_vision, import_internvideo2,
+                           import_phi3, t2j)

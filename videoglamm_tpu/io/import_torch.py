@@ -79,6 +79,65 @@ def import_phi3(state_dict: Mapping, cfg, extra_vocab: int = 0):
     }
 
 
+def import_internvideo2(state_dict: Mapping, cfg,
+                        prefix: str = "vision_encoder.",
+                        x_vis_return_idx: int = -2):
+    """InternVideo2 torch checkpoint -> InternVideo2Tower flax params.
+
+    Accepts the InternVideo2_Stage2V layout (keys under `vision_encoder.`,
+    reference model/videogpt_plus/model/internvideo/utils.py:146-240) or a
+    bare PretrainInternVideo2 state_dict. Only the blocks the fusion path
+    executes (0..depth+x_vis_return_idx) are imported, stacked for nn.scan."""
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+          for k, v in state_dict.items()}
+    n_run = cfg.depth + x_vis_return_idx + 1
+
+    # torch Conv3d kernel [D, 3, tub, p, p] -> [p, p, 3, D] (tubelet 1)
+    pk = t2j(sd["patch_embed.proj.weight"])
+    assert pk.shape[2] == 1, "tubelet_size != 1 not supported"
+    pk = pk[:, :, 0].transpose(2, 3, 1, 0)
+
+    blocks = {
+        "norm1": {"scale": _stack_layers(sd, "blocks.{i}.norm1.weight", n_run)},
+        "norm2": {"scale": _stack_layers(sd, "blocks.{i}.norm2.weight", n_run)},
+        "qkv": {"kernel": _stack_layers(
+            sd, "blocks.{i}.attn.qkv.weight", n_run, True)},
+        "attn_proj": {
+            "kernel": _stack_layers(sd, "blocks.{i}.attn.proj.weight",
+                                    n_run, True),
+            "bias": _stack_layers(sd, "blocks.{i}.attn.proj.bias", n_run),
+        },
+        "mlp_fc1": {
+            "kernel": _stack_layers(sd, "blocks.{i}.mlp.fc1.weight",
+                                    n_run, True),
+            "bias": _stack_layers(sd, "blocks.{i}.mlp.fc1.bias", n_run),
+        },
+        "mlp_fc2": {
+            "kernel": _stack_layers(sd, "blocks.{i}.mlp.fc2.weight",
+                                    n_run, True),
+            "bias": _stack_layers(sd, "blocks.{i}.mlp.fc2.bias", n_run),
+        },
+        "ls1_gamma": _stack_layers(sd, "blocks.{i}.ls1.gamma", n_run),
+        "ls2_gamma": _stack_layers(sd, "blocks.{i}.ls2.gamma", n_run),
+    }
+    if cfg.qk_normalization:
+        blocks["q_norm"] = {"scale": _stack_layers(
+            sd, "blocks.{i}.attn.q_norm.weight", n_run)}
+        blocks["k_norm"] = {"scale": _stack_layers(
+            sd, "blocks.{i}.attn.k_norm.weight", n_run)}
+    if "blocks.0.attn.qkv.bias" in sd:
+        blocks["qkv"]["bias"] = _stack_layers(
+            sd, "blocks.{i}.attn.qkv.bias", n_run)
+
+    return {
+        "patch_embedding": pk,
+        "patch_bias": t2j(sd["patch_embed.proj.bias"]),
+        "cls_token": t2j(sd["cls_token"]).reshape(1, 1, -1),
+        "pos_embed": t2j(sd["pos_embed"]).reshape(-1, cfg.embed_dim),
+        "blocks": blocks,
+    }
+
+
 def import_clip_vision(state_dict: Mapping, cfg, prefix: str = "vision_model."):
     """HF CLIPVisionModel state_dict -> CLIPVisionTower flax params.
 
