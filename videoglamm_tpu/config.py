@@ -336,7 +336,7 @@ class VideoGLaMMConfig:
         return VideoGLaMMConfig(
             llm=Phi3Config.tiny(),
             clip=CLIPVisionConfig.tiny(),
-            internvideo=InternVideo2Config.tiny(),
+            internvideo=_replace(InternVideo2Config.tiny(), num_frames=2),
             sam2=SAM2Config.tiny(),
             out_dim=32,
             seg_token_idx=500,
