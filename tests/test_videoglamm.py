@@ -28,17 +28,21 @@ def make_batch(rng, Bv=1, R=2, S=16, T_sam=2, gt_hw=32):
     input_ids = rng.randint(1, 400, size=(R, S)).astype(np.int32)
     input_ids[:, 2] = IMAGE_TOKEN_INDEX
     input_ids[0, 5] = SEG            # row 0: one [SEG]
-    input_ids[1, 5] = SEG            # row 1: two [SEG]
-    input_ids[1, 7] = SEG
-    text_lens = np.array([S, S - 4], np.int32)
+    if R > 1:
+        input_ids[1, 5] = SEG        # row 1: two [SEG]
+        input_ids[1, 7] = SEG
+    text_lens = np.full(R, S, np.int32)
+    if R > 1:
+        text_lens[1] = S - 4
     labels = input_ids.copy()
     labels[labels < 0] = IGNORE_INDEX
-    video_idx = np.zeros(R, np.int32)
+    video_idx = (np.arange(R) % Bv).astype(np.int32)
 
     gt = np.full((R, cfg.max_seg_tokens, T_sam, gt_hw, gt_hw), MASK_IGNORE_INDEX,
                  np.float32)
     gt[0, 0] = (rng.rand(T_sam, gt_hw, gt_hw) > 0.5).astype(np.float32)
-    gt[1, :2] = (rng.rand(2, T_sam, gt_hw, gt_hw) > 0.5).astype(np.float32)
+    if R > 1:
+        gt[1, :2] = (rng.rand(2, T_sam, gt_hw, gt_hw) > 0.5).astype(np.float32)
     return dict(frames=jnp.asarray(frames),
                 context_images=jnp.asarray(context),
                 frames_sam=jnp.asarray(frames_sam),

@@ -41,6 +41,11 @@ class Phi3DecoderLayer(nn.Module):
     cfg: Phi3Config
     causal: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    # LoRA on q/v projections (reference train_ds_with_videogptplus.py:279-296:
+    # r=8, alpha=16 on q_proj,v_proj only). 0 disables — params absent, so
+    # inference checkpoints are unchanged.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, x, positions, cache_k, cache_v, kv_lens):
@@ -56,6 +61,18 @@ class Phi3DecoderLayer(nn.Module):
         qkv = Dense((nh + 2 * nkv) * hd, use_bias=False, dtype=self.dtype,
                     name="qkv_proj")(h)
         q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+        if self.lora_rank > 0:
+            scale = self.lora_alpha / self.lora_rank
+            for nm, tgt_dim in (("q", nh * hd), ("v", nkv * hd)):
+                a = Dense(self.lora_rank, use_bias=False, dtype=self.dtype,
+                          name=f"{nm}_lora_a")(h)
+                d = Dense(tgt_dim, use_bias=False, dtype=self.dtype,
+                          kernel_init=nn.initializers.zeros,
+                          name=f"{nm}_lora_b")(a) * scale
+                if nm == "q":
+                    q = q + d
+                else:
+                    v = v + d
         q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)    # [B,nh,S,hd]
         k = k.reshape(B, S, nkv, hd)                          # [B,S,nkv,hd]
         v = v.reshape(B, S, nkv, hd)
@@ -105,6 +122,8 @@ class Phi3Model(nn.Module):
     causal: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     @nn.compact
     def __call__(self, embeds, positions, kv_lens, cache=None):
@@ -113,6 +132,7 @@ class Phi3Model(nn.Module):
         if self.remat:
             layer_cls = nn.remat(layer_cls, prevent_cse=False)
         layer = layer_cls(cfg, causal=self.causal, dtype=self.dtype,
+                          lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
                           name="layers")
 
         if cache is not None:
@@ -144,13 +164,17 @@ class Phi3ForCausalLM(nn.Module):
     extra_vocab: int = 0
     dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
 
     def setup(self):
         vocab = self.cfg.vocab_size + self.extra_vocab
         self.embed_tokens = nn.Embed(vocab, self.cfg.hidden_size,
                                      param_dtype=jnp.float32,
                                      dtype=self.dtype)
-        self.model = Phi3Model(self.cfg, dtype=self.dtype, remat=self.remat)
+        self.model = Phi3Model(self.cfg, dtype=self.dtype, remat=self.remat,
+                               lora_rank=self.lora_rank,
+                               lora_alpha=self.lora_alpha)
         self.lm_head = nn.Dense(vocab, use_bias=False, dtype=self.dtype,
                                 param_dtype=jnp.float32)
 

@@ -104,6 +104,8 @@ class VideoGLaMM(nn.Module):
     cfg: VideoGLaMMConfig
     dtype: jnp.dtype = jnp.bfloat16
     remat_llm: bool = False
+    lora_rank: int = 0          # LoRA on LLM q/v (training); 0 = disabled
+    lora_alpha: float = 16.0
 
     def setup(self):
         cfg = self.cfg
@@ -114,7 +116,9 @@ class VideoGLaMM(nn.Module):
         self.image_mm_projector = VisionProjector(
             cfg.mm_projector_type, cfg.llm.hidden_size, dtype=self.dtype)
         self.llm = Phi3ForCausalLM(cfg.llm, extra_vocab=1, dtype=self.dtype,
-                                   remat=self.remat_llm)
+                                   remat=self.remat_llm,
+                                   lora_rank=self.lora_rank,
+                                   lora_alpha=self.lora_alpha)
         self.text_hidden_fcs = TextHiddenFCs(cfg.out_dim)
         self.sam = SAM2Base(cfg.sam2, dtype=self.dtype)
 
