@@ -1,0 +1,113 @@
+"""End-to-end GCG clip throughput benchmark (frames/sec/chip).
+
+Measures the full grounded-video-captioning inference path on one chip at
+flagship scale (Phi-3-mini 3.8B + InternVideo2-1B + CLIP-L/336 + SAM2
+Hiera-L, bf16):
+
+  visual encode (16 frames: 4 InternVideo2 chunks + 16 CLIP frames)
+  -> KV-cache prefill over the spliced ~3.4k-token sequence
+  -> 64-step cached decode ([SEG] hidden collection)
+  -> SAM-2 encode of 8 frames + batched mask decode (4 [SEG] x 8 frames)
+
+metric: frames/sec/chip = NUM_FRAMES / wall-clock per clip (host readback
+forced — `block_until_ready` does not sync over the axon TPU tunnel).
+
+vs_baseline: the reference runs this clip on an A100 with batch 1, fp16 and
+`use_cache=False` generation (model/VideoGLaMM.py:798) — every one of the 64
+generated tokens recomputes the full ~3.4k-token prefix through the 3.8B LLM:
+64 * 3.4e3 * 2 * 3.8e9 ~= 1.7 PFLOP for decode alone, ~13 s at a realistic
+40% of A100 fp16 peak, plus ~0.4 s encode => ~1.2 frames/s. That estimate
+(A100_BASELINE_FPS) is the denominator.
+"""
+import json
+import time
+
+import numpy as np
+
+A100_BASELINE_FPS = 1.2
+
+NUM_FRAMES = 16
+T_SAM = 8
+S_TEXT = 64
+MAX_NEW = 64
+N_ITERS = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from videoglamm_tpu.config import VideoGLaMMConfig
+    from videoglamm_tpu.constants import IMAGE_TOKEN_INDEX
+    from videoglamm_tpu.inference.generate import generate_with_prefix
+    from videoglamm_tpu.inference.pipeline import extract_seg_from_generation
+    from videoglamm_tpu.models import VideoGLaMM
+
+    cfg = VideoGLaMMConfig.flagship()
+    model = VideoGLaMM(cfg, dtype=jnp.bfloat16)
+
+    ids = np.full((1, S_TEXT), 5, np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    batch = dict(
+        frames=jnp.zeros((1, NUM_FRAMES, 224, 224, 3), jnp.bfloat16),
+        context_images=jnp.zeros((1, NUM_FRAMES, 336, 336, 3), jnp.bfloat16),
+        frames_sam=jnp.zeros((1, T_SAM, 1024, 1024, 3), jnp.bfloat16),
+        input_ids=jnp.asarray(ids),
+        text_lens=jnp.full((1,), S_TEXT, jnp.int32),
+    )
+
+    def init_fn():
+        return model.init(
+            jax.random.PRNGKey(0), batch["frames"], batch["context_images"],
+            jnp.zeros((1, 1, 1024, 1024, 3), jnp.bfloat16),
+            batch["input_ids"], batch["text_lens"],
+            jnp.full_like(batch["input_ids"], -100),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, cfg.max_seg_tokens, 1, 64, 64), jnp.bfloat16))
+
+    shapes = jax.eval_shape(init_fn)
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16
+                            if jnp.issubdtype(s.dtype, jnp.floating)
+                            else s.dtype), shapes)
+
+    def clip_fn(params, frames, context_images, frames_sam, input_ids,
+                text_lens):
+        visual = model.apply(
+            params, frames, context_images,
+            method=lambda mdl, a, b: mdl.encode_visual_prefix(a, b))
+        gen = generate_with_prefix(
+            model, params, visual, input_ids, text_lens,
+            max_new_tokens=MAX_NEW, eos_id=32000)
+        seg = extract_seg_from_generation(model, params, gen)
+        sam_feats, _ = model.apply(
+            params, frames_sam,
+            method=lambda mdl, a: mdl.encode_sam_features(a))
+        masks = model.apply(
+            params, sam_feats, seg, jnp.zeros((1,), jnp.int32),
+            method=lambda mdl, f, s, v: mdl.decode_masks(
+                f, s, v, training=False))
+        # scalar dependency on every stage so one readback syncs the clip
+        return (masks.astype(jnp.float32).sum()
+                + gen.tokens.sum().astype(jnp.float32))
+
+    jfn = jax.jit(clip_fn)
+    # warm up / compile
+    float(jfn(params, **batch))
+
+    t0 = time.time()
+    for _ in range(N_ITERS):
+        float(jfn(params, **batch))
+    dt = (time.time() - t0) / N_ITERS
+
+    fps = NUM_FRAMES / dt
+    print(json.dumps({
+        "metric": "GCG frames/sec/chip (encode+decode+mask)",
+        "value": round(fps, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps / A100_BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

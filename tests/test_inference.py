@@ -1,0 +1,101 @@
+"""Inference: KV-cache generation parity vs full recompute (the reference's
+use_cache=False semantics), [SEG] hidden alignment, end-to-end pipeline."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videoglamm_tpu.models import VideoGLaMM
+from videoglamm_tpu.models.multimodal import splice_visual_prefix
+from videoglamm_tpu.inference import GroundedInference
+from videoglamm_tpu.inference.generate import generate_with_prefix
+
+from test_videoglamm import CFG, make_batch
+
+EOS = 3
+MAX_NEW = 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = VideoGLaMM(CFG, dtype=jnp.float32)
+    batch = make_batch(np.random.RandomState(0))
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    return model, params, batch
+
+
+def test_cached_decode_matches_full_recompute(setup):
+    """The cached decode's per-step hidden states must match ONE full no-cache
+    forward over the final sequence (the reference's use_cache=False
+    semantics, VideoGLaMM.py:798) — teacher-forced so near-tie argmax noise
+    can't flip the comparison."""
+    model, params, batch = setup
+    visual = model.apply(
+        params, batch["frames"], batch["context_images"],
+        method=lambda mdl, a, b: mdl.encode_visual_prefix(a, b))
+    visual = visual[batch["video_idx"]]
+
+    gen = generate_with_prefix(
+        model, params, visual, batch["input_ids"], batch["text_lens"],
+        max_new_tokens=MAX_NEW, eos_id=EOS)
+    got = np.asarray(gen.tokens)
+    B = got.shape[0]
+
+    # rebuild the full text sequence with the generated tokens appended at
+    # each row's valid length, then run ONE uncached forward
+    ids = np.concatenate(
+        [np.asarray(batch["input_ids"]), np.zeros((B, MAX_NEW), np.int32)],
+        axis=1)
+    lens = np.asarray(batch["text_lens"]).copy()
+    counts = np.zeros(B, np.int32)
+    for b in range(B):
+        for j in range(MAX_NEW):
+            if got[b, j] == 0 and j >= np.asarray(gen.lengths)[b]:
+                break
+            ids[b, lens[b]] = got[b, j]
+            lens[b] += 1
+            counts[b] += 1
+
+    cur = jnp.asarray(ids)
+
+    def fwd(mdl):
+        emb = mdl.llm.embed(cur)
+        sp = splice_visual_prefix(emb, cur, visual, jnp.asarray(lens))
+        logits, hidden, _ = mdl.llm(sp.embeds, sp.positions, sp.attn_lens)
+        return logits, hidden, sp.attn_lens
+
+    _, hidden, attn_lens = model.apply(params, method=fwd)
+    ref_hidden = np.asarray(hidden)
+
+    pl = np.asarray(gen.prefill_len)
+    gh = np.asarray(gen.hidden)
+    checked = 0
+    for b in range(B):
+        for j in range(int(counts[b])):
+            np.testing.assert_allclose(
+                gh[b, j], ref_hidden[b, pl[b] + j], atol=5e-4, rtol=5e-4,
+                err_msg=f"row {b} gen step {j}")
+            checked += 1
+    assert checked > 0
+
+
+def test_pipeline_end_to_end(setup):
+    model, params, batch = setup
+    pipe = GroundedInference(model, params, max_new_tokens=MAX_NEW,
+                             eos_id=EOS)
+    res = pipe(batch["frames"][batch["video_idx"]],
+               batch["context_images"][batch["video_idx"]],
+               batch["frames_sam"][batch["video_idx"]],
+               batch["input_ids"], batch["text_lens"])
+    B = batch["input_ids"].shape[0]
+    T_sam = batch["frames_sam"].shape[1]
+    E4 = CFG.sam2.low_res_size * 4
+    assert res.tokens.shape == (B, MAX_NEW)
+    assert res.pred_masks.shape == (B, CFG.max_seg_tokens, T_sam, E4, E4)
+    # slots without a generated [SEG] are forced to "no mask"
+    sv = np.asarray(res.seg_valid)
+    pm = np.asarray(res.pred_masks)
+    for b in range(B):
+        for s in range(CFG.max_seg_tokens):
+            if not sv[b, s]:
+                assert np.all(pm[b, s] <= -1e3)

@@ -1,0 +1,103 @@
+"""KV-cache autoregressive generation with a spliced multimodal prefix.
+
+The reference decodes with use_cache=False — every generated token recomputes
+the full ~3.3k-token visual prefix (/root/reference/VideoGLaMM/model/
+VideoGLaMM.py:789-799, generate(use_cache=False)). This module is the
+TPU-native replacement: one prefill over the spliced sequence, then a
+`lax.scan` decode loop over a static KV cache — O(S) instead of O(S*N) per
+token, the single biggest inference win identified in SURVEY §7.1.
+
+[SEG]-position bookkeeping: the reference recovers [SEG] hidden states by
+recomputing the whole sequence and masking (`num_newly_added_tokens` hack,
+VideoGLaMM.py:609-633). Here every decode step feeds the previously sampled
+token and returns its final-layer hidden state, so the hidden for each
+generated token is collected exactly once, cache-priced.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..models.multimodal import splice_visual_prefix
+from ..models.phi3 import init_kv_cache
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray       # [B, max_new] sampled ids (pad after EOS)
+    hidden: jnp.ndarray       # [B, max_new, D] final-layer hidden of each
+                              # generated token as it was FED BACK (position j
+                              # hidden — matches the reference's full-sequence
+                              # recompute semantics)
+    lengths: jnp.ndarray      # [B] number of tokens up to and incl. EOS
+    prefill_hidden: jnp.ndarray  # [B, S_prefill, D]
+    prefill_len: jnp.ndarray  # [B] spliced prompt lengths
+
+
+def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,
+                         *, max_new_tokens: int, eos_id: int,
+                         pad_id: int = 0, temperature: float = 0.0,
+                         rng: Optional[jax.Array] = None):
+    """Greedy (temperature=0) or sampled decode of the composite's LLM.
+
+    model: VideoGLaMM flax module (apply'd with `params`); uses its `llm`.
+    visual_prefix: [B, V, H]; input_ids: [B, S_text] with one placeholder.
+    """
+    B, S_text = input_ids.shape
+    V = visual_prefix.shape[1]
+    S_prefill = S_text - 1 + V
+    max_len = S_prefill + max_new_tokens + 1
+    cfg = model.cfg.llm
+
+    def llm_apply(method, *args):
+        return model.apply(params, *args,
+                           method=lambda mdl, *a: getattr(mdl.llm, method)(*a))
+
+    embeds = llm_apply("embed", input_ids)
+    sp = splice_visual_prefix(embeds, input_ids, visual_prefix, text_lens)
+
+    cache = init_kv_cache(cfg, B, max_len, dtype=embeds.dtype)
+    logits, hidden_pre, cache = llm_apply(
+        "__call__", sp.embeds, sp.positions, sp.attn_lens, cache)
+
+    # last valid prompt position -> first sampled token
+    last_idx = sp.attn_lens - 1                               # [B]
+    bidx = jnp.arange(B)
+    next_logits = logits[bidx, last_idx]                      # [B, vocab]
+
+    def sample(lg, key):
+        if temperature > 0.0:
+            return jax.random.categorical(key, lg / temperature, axis=-1)
+        return jnp.argmax(lg, axis=-1)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    tok0 = sample(next_logits, rng)
+    done0 = tok0 == eos_id
+
+    def step(carry, key):
+        cache, tok, done, pos = carry
+        # feed the previously sampled token at its own position
+        emb = llm_apply("embed", tok[:, None])
+        kv_lens = pos + 1
+        logits, hidden, cache = llm_apply(
+            "__call__", emb, pos[:, None], kv_lens, cache)
+        nxt = sample(logits[:, -1], key)
+        nxt = jnp.where(done, pad_id, nxt)
+        new_done = done | (nxt == eos_id)
+        return (cache, nxt, new_done, pos + 1), \
+            (tok, hidden[:, 0], done)
+
+    keys = jax.random.split(rng, max_new_tokens)
+    pos0 = sp.attn_lens
+    (_, _, done, _), (toks, hiddens, was_done) = jax.lax.scan(
+        step, (cache, tok0, done0, pos0), keys)
+
+    tokens = jnp.where(was_done.T, pad_id, toks.T)            # [B, max_new]
+    hidden = jnp.swapaxes(hiddens, 0, 1)                      # [B, max_new, D]
+    lengths = jnp.sum(~was_done.T, axis=1)
+    return GenerateResult(tokens=tokens, hidden=hidden, lengths=lengths,
+                          prefill_hidden=hidden_pre, prefill_len=sp.attn_lens)

@@ -82,11 +82,11 @@ class Phi3DecoderLayer(nn.Module):
         k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
 
         if cache_k is not None:
-            start = kv_lens - S
-            idx = start[:, None] + jnp.arange(S)[None, :]      # [B,S]
+            # scatter at each token's absolute position (right-padded prefill
+            # rows write their pad tokens past kv_len — harmless, masked out)
             bidx = jnp.arange(B)[:, None]
-            cache_k = cache_k.at[bidx, idx].set(k.astype(cache_k.dtype))
-            cache_v = cache_v.at[bidx, idx].set(v.astype(cache_v.dtype))
+            cache_k = cache_k.at[bidx, positions].set(k.astype(cache_k.dtype))
+            cache_v = cache_v.at[bidx, positions].set(v.astype(cache_v.dtype))
             k_att = cache_k.transpose(0, 2, 1, 3)              # [B,nkv,C,hd]
             v_att = cache_v.transpose(0, 2, 1, 3)
         else:
@@ -98,8 +98,10 @@ class Phi3DecoderLayer(nn.Module):
             k_att = jnp.repeat(k_att, rep, axis=1)
             v_att = jnp.repeat(v_att, rep, axis=1)
 
+        # positions[:, 0] is the absolute KV position of the first query:
+        # 0 for prefill / full forward (right-padded batches), pos for decode.
         o = dot_product_attention(q, k_att, v_att, causal=self.causal,
-                                  kv_lens=kv_lens)
+                                  kv_lens=kv_lens, q_start=positions[:, 0])
         o = o.transpose(0, 2, 1, 3).reshape(B, S, nh * hd)
         o = Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                   name="o_proj")(o)

@@ -33,7 +33,8 @@ NEG_INF = -1e30
 # ---------------------------------------------------------------------------
 def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
                    kv_lens: Optional[jax.Array], bias: Optional[jax.Array],
-                   kv_mask: Optional[jax.Array] = None):
+                   kv_mask: Optional[jax.Array] = None,
+                   q_start: Optional[jax.Array] = None):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
@@ -41,11 +42,15 @@ def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     if causal:
-        # Queries are the LAST Sq valid tokens of the KV sequence: when a
-        # cache buffer is longer than the valid length, alignment uses
-        # kv_lens, not the buffer size.
-        offs = (kv_lens - Sq) if kv_lens is not None \
-            else jnp.full((B,), Sk - Sq, jnp.int32)
+        # q_start gives the absolute KV position of query 0 (prefill over a
+        # right-padded batch => 0; single-token decode => kv_len-1). Without
+        # it, queries are assumed to be the LAST Sq valid tokens.
+        if q_start is not None:
+            offs = q_start
+        elif kv_lens is not None:
+            offs = kv_lens - Sq
+        else:
+            offs = jnp.full((B,), Sk - Sq, jnp.int32)
         qi = jnp.arange(Sq)[None, :, None] + offs[:, None, None]  # [B,Sq,1]
         ki = jnp.arange(Sk)[None, None, :]
         logits = jnp.where((qi >= ki)[:, None], logits, NEG_INF)
@@ -75,9 +80,8 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
 
     i = pl.program_id(1)
-    kv_len = kvlen_ref[pl.program_id(0)]
-    # queries are the last `sq` valid tokens of the KV sequence
-    q_offset = kv_len - sq
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    q_offset = kvlen_ref[pl.program_id(0), 1]
 
     q_start = i * block_q
     k_start = j * block_k
@@ -128,7 +132,8 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k"))
-def _flash_fwd(q, k, v, kv_lens, *, causal, sm_scale, block_q=128, block_k=128):
+def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=128,
+               block_k=128):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     block_q = min(block_q, _round_up(Sq, 128))
@@ -144,8 +149,11 @@ def _flash_fwd(q, k, v, kv_lens, *, causal, sm_scale, block_q=128, block_k=128):
     kp = kp.reshape(B * H, Skp, Dp)
     vp = vp.reshape(B * H, Skp, Dp)
 
-    # one kv_len scalar per (b, h) program
-    kv_lens_bh = jnp.repeat(kv_lens.astype(jnp.int32), H)
+    # per-(b, h) program scalars: [kv_len, q_offset]
+    scalars = jnp.stack([
+        jnp.repeat(kv_lens.astype(jnp.int32), H),
+        jnp.repeat(q_start.astype(jnp.int32), H),
+    ], axis=1)
 
     grid = (B * H, Sqp // block_q, Skp // block_k)
     kernel = functools.partial(
@@ -172,31 +180,33 @@ def _flash_fwd(q, k, v, kv_lens, *, causal, sm_scale, block_q=128, block_k=128):
         out_shape=jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
-    )(kv_lens_bh, qp, kp, vp)
+    )(scalars, qp, kp, vp)
 
     return out.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash_attention_custom(q, k, v, kv_lens, causal, sm_scale):
-    return _flash_fwd(q, k, v, kv_lens, causal=causal, sm_scale=sm_scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention_custom(q, k, v, kv_lens, q_start, causal, sm_scale):
+    return _flash_fwd(q, k, v, kv_lens, q_start, causal=causal,
+                      sm_scale=sm_scale)
 
 
-def _flash_attention_fwd_rule(q, k, v, kv_lens, causal, sm_scale):
-    out = _flash_fwd(q, k, v, kv_lens, causal=causal, sm_scale=sm_scale)
-    return out, (q, k, v, kv_lens)
+def _flash_attention_fwd_rule(q, k, v, kv_lens, q_start, causal, sm_scale):
+    out = _flash_fwd(q, k, v, kv_lens, q_start, causal=causal,
+                     sm_scale=sm_scale)
+    return out, (q, k, v, kv_lens, q_start)
 
 
 def _flash_attention_bwd_rule(causal, sm_scale, res, g):
     import numpy as np
-    q, k, v, kv_lens = res
+    q, k, v, kv_lens, q_start = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_: _attention_xla(q_, k_, v_, causal=causal,
                                           sm_scale=sm_scale, kv_lens=kv_lens,
-                                          bias=None), q, k, v)
+                                          bias=None, q_start=q_start), q, k, v)
     dq, dk, dv = vjp(g)
     dlens = np.zeros(kv_lens.shape, dtype=jax.dtypes.float0)
-    return dq, dk, dv, dlens
+    return dq, dk, dv, dlens, dlens.copy()
 
 
 _flash_attention_custom.defvjp(_flash_attention_fwd_rule, _flash_attention_bwd_rule)
@@ -204,13 +214,18 @@ _flash_attention_custom.defvjp(_flash_attention_fwd_rule, _flash_attention_bwd_r
 
 def flash_attention(q, k, v, *, causal: bool = False,
                     kv_lens: Optional[jax.Array] = None,
+                    q_start: Optional[jax.Array] = None,
                     sm_scale: Optional[float] = None):
-    """Pallas flash attention. q/k/v: [B, H, S, D]."""
+    """Pallas flash attention. q/k/v: [B, H, S, D]. q_start: [B] absolute KV
+    position of query 0 (defaults to kv_lens - Sq: decode convention)."""
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     if kv_lens is None:
         kv_lens = jnp.full((q.shape[0],), k.shape[2], jnp.int32)
-    return _flash_attention_custom(q, k, v, kv_lens, causal, float(sm_scale))
+    if q_start is None:
+        q_start = kv_lens - q.shape[2]
+    return _flash_attention_custom(q, k, v, kv_lens, q_start, causal,
+                                   float(sm_scale))
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +235,7 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
                           kv_lens: Optional[jax.Array] = None,
                           kv_mask: Optional[jax.Array] = None,
                           bias: Optional[jax.Array] = None,
+                          q_start: Optional[jax.Array] = None,
                           sm_scale: Optional[float] = None,
                           force_xla: bool = False):
     """Attention entrypoint used by all model stacks.
@@ -236,6 +252,7 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     if (force_xla or bias is not None or kv_mask is not None or not on_tpu
             or not long_enough):
         return _attention_xla(q, k, v, causal=causal, sm_scale=sm_scale,
-                              kv_lens=kv_lens, bias=bias, kv_mask=kv_mask)
+                              kv_lens=kv_lens, bias=bias, kv_mask=kv_mask,
+                              q_start=q_start)
     return flash_attention(q, k, v, causal=causal, kv_lens=kv_lens,
-                           sm_scale=sm_scale)
+                           q_start=q_start, sm_scale=sm_scale)
