@@ -62,10 +62,21 @@ def test_flash_kernel_interpret_matches_xla():
     v = jnp.asarray(rng.randn(1, 2, 384, 64), jnp.float32)
     kv_lens = jnp.array([300], jnp.int32)
     from jax.experimental.pallas import tpu as pltpu
+    q_start = kv_lens - q.shape[2]
     with pltpu.force_tpu_interpret_mode():
-        out = _flash_fwd(q, k, v, kv_lens, causal=True, sm_scale=0.125)
+        out = _flash_fwd(q, k, v, kv_lens, q_start, causal=True,
+                         sm_scale=0.125)
     ref = _attention_xla(q, k, v, causal=True, sm_scale=0.125,
                          kv_lens=kv_lens, bias=None)
+    # also: prefill alignment (queries start at 0 over a padded buffer)
+    q_start0 = jnp.zeros((1,), jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        out0 = _flash_fwd(q, k, v, kv_lens, q_start0, causal=True,
+                          sm_scale=0.125)
+    ref0 = _attention_xla(q, k, v, causal=True, sm_scale=0.125,
+                          kv_lens=kv_lens, bias=None, q_start=q_start0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(ref0),
+                               atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
 

@@ -1,0 +1,54 @@
+"""Golden-parity tests: flax SAM-2 components vs the REFERENCE torch modules
+executed as the oracle (random weights imported through io.import_torch)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videoglamm_tpu.config import HieraConfig
+from videoglamm_tpu.io.import_torch import import_sam2_hiera
+from videoglamm_tpu.models.sam2.hiera import Hiera
+
+from ref_sam2 import load_reference_sam2
+
+TINY = HieraConfig(embed_dim=16, num_heads=1, stages=(1, 2, 2, 1),
+                   global_att_blocks=(4,), window_spec=(4, 2, 2, 2))
+
+
+def _ref_hiera(cfg, seed=0):
+    import torch
+    load_reference_sam2()
+    from model.segment_anything_2.sam2.modeling.backbones.hieradet import \
+        Hiera as RefHiera
+    torch.manual_seed(seed)
+    ref = RefHiera(
+        embed_dim=cfg.embed_dim, num_heads=cfg.num_heads, stages=cfg.stages,
+        global_att_blocks=cfg.global_att_blocks,
+        window_spec=cfg.window_spec,
+        window_pos_embed_bkg_spatial_size=cfg.window_pos_embed_bkg_spatial_size)
+    # randomize params that init to zeros (pos embeds)
+    with torch.no_grad():
+        ref.pos_embed.normal_(std=0.5)
+        ref.pos_embed_window.normal_(std=0.5)
+    return ref
+
+
+@pytest.mark.parametrize("img", [128, 256])
+def test_hiera_golden(img):
+    import torch
+    cfg = TINY
+    ref = _ref_hiera(cfg)
+    x = np.random.RandomState(0).randn(2, img, img, 3).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(x).permute(0, 3, 1, 2))
+    ref_outs = [o.permute(0, 2, 3, 1).numpy() for o in ref_outs]
+
+    model = Hiera(cfg, dtype=jnp.float32)
+    params = {"params": import_sam2_hiera(ref.state_dict(), cfg)}
+    outs = model.apply(params, jnp.asarray(x))
+
+    assert len(outs) == len(ref_outs)
+    for got, want in zip(outs, ref_outs):
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                                   rtol=2e-3)

@@ -79,18 +79,30 @@ class GroundedInference:
                 p, feats, seg, vidx,
                 method=lambda mdl, f, s, v: mdl.decode_masks(
                     f, s, v, training=False)))
+        self._track_masks = jax.jit(
+            lambda p, f, s: model.apply(
+                p, f, s, method=lambda mdl, a, b: mdl.track_masks(a, b)))
 
     def __call__(self, frames, context_images, frames_sam, input_ids,
-                 text_lens, rng: Optional[jax.Array] = None) -> InferenceResult:
+                 text_lens, rng: Optional[jax.Array] = None,
+                 use_video_branch: bool = False) -> InferenceResult:
         """frames: [B,T,224,224,3]; context: [B,T,336,336,3];
-        frames_sam: [B,T_sam,S,S,3]; input_ids: [B,S_text]."""
+        frames_sam: [B,T_sam,S,S,3]; input_ids: [B,S_text].
+
+        use_video_branch=True runs the SAM-2 memory tracker (reference
+        inference_video_branch) instead of independent per-frame decoding."""
         p = self.params
         visual = self._encode_visual(p, frames, context_images)
         gen = self._generate(p, visual, input_ids, text_lens, rng=rng)
         seg = extract_seg_from_generation(self.model, p, gen)
-        sam_feats, _ = self._encode_sam(p, frames_sam)
-        vidx = jnp.arange(frames_sam.shape[0], dtype=jnp.int32)
-        masks = self._decode_masks(p, sam_feats, seg, vidx)
+        if use_video_branch:
+            masks = jnp.stack([
+                self._track_masks(p, frames_sam[b], seg.embeds[b])
+                for b in range(frames_sam.shape[0])])
+        else:
+            sam_feats, _ = self._encode_sam(p, frames_sam)
+            vidx = jnp.arange(frames_sam.shape[0], dtype=jnp.int32)
+            masks = self._decode_masks(p, sam_feats, seg, vidx)
         masks = jnp.where(seg.valid[:, :, None, None, None], masks, -1e4)
         return InferenceResult(tokens=gen.tokens, lengths=gen.lengths,
                                seg_valid=seg.valid, pred_masks=masks)

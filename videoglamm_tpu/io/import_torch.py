@@ -138,6 +138,47 @@ def import_internvideo2(state_dict: Mapping, cfg,
     }
 
 
+def import_sam2_hiera(state_dict: Mapping, cfg, prefix: str = ""):
+    """SAM-2 Hiera trunk torch state dict -> flax Hiera params.
+
+    Handles the reference's `.gamma`->`.weight` renamed checkpoints
+    (model/segment_anything_2/sam2/build_sam.py:93-116) transparently — keys
+    here are already post-rename torch module names."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+    depth = sum(cfg.stages)
+
+    def ln(p):
+        return {"scale": t2j(sd[p + ".weight"]), "bias": t2j(sd[p + ".bias"])}
+
+    params = {
+        "patch_embed": {
+            "kernel": t2j(sd["patch_embed.proj.weight"]).transpose(2, 3, 1, 0),
+            "bias": t2j(sd["patch_embed.proj.bias"]),
+        },
+        "pos_embed": t2j(sd["pos_embed"])[0].transpose(1, 2, 0),
+        "pos_embed_window": t2j(sd["pos_embed_window"])[0].transpose(1, 2, 0),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}."
+        blk = {
+            "norm1": ln(p + "norm1"),
+            "norm2": ln(p + "norm2"),
+            "attn": {
+                "qkv": _linear(sd, p + "attn.qkv"),
+                "proj": _linear(sd, p + "attn.proj"),
+            },
+            "mlp": {
+                "fc1": _linear(sd, p + "mlp.layers.0"),
+                "fc2": _linear(sd, p + "mlp.layers.1"),
+            },
+        }
+        if p + "proj.weight" in sd:
+            blk["proj"] = _linear(sd, p + "proj")
+        params[f"blocks_{i}"] = blk
+    return params
+
+
 def import_clip_vision(state_dict: Mapping, cfg, prefix: str = "vision_model."):
     """HF CLIPVisionModel state_dict -> CLIPVisionTower flax params.
 

@@ -24,7 +24,7 @@ import flax.linen as nn
 
 from ...config import HieraConfig
 from ...ops import dot_product_attention
-from ...ops.resize import resize_bilinear
+from ...ops.resize import resize_bicubic
 from ..common import Dense, LayerNorm, Mlp
 
 
@@ -143,8 +143,7 @@ class Hiera(nn.Module):
 
         # windowed background + window position embedding (reference
         # hieradet.py:267-276): background PE bicubically resized to (H, W)
-        # plus a tiled window PE. We use bilinear resize for the background
-        # term (bicubic differs negligibly for a learned background PE).
+        # plus a tiled window PE (torch-exact bicubic kernel).
         pos_bkg = self.param("pos_embed", nn.initializers.zeros,
                              (cfg.window_pos_embed_bkg_spatial_size[0],
                               cfg.window_pos_embed_bkg_spatial_size[1],
@@ -152,7 +151,7 @@ class Hiera(nn.Module):
         w0 = cfg.window_spec[0]
         pos_win = self.param("pos_embed_window", nn.initializers.zeros,
                              (w0, w0, cfg.embed_dim), jnp.float32)
-        pe = resize_bilinear(pos_bkg[None], (H, W))[0]
+        pe = resize_bicubic(pos_bkg[None], (H, W))[0]
         pe = pe + jnp.tile(pos_win, (H // w0, W // w0, 1))
         x = x + pe.astype(x.dtype)
 

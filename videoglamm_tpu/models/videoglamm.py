@@ -225,6 +225,21 @@ class VideoGLaMM(nn.Module):
         return m.reshape(R, ms, T, m.shape[-2], m.shape[-1])
 
     # ------------------------------------------------------------------
+    def track_masks(self, frames_sam, seg_embeds):
+        """SAM-2 video-branch tracking for ONE video (reference
+        inference_video_branch, VideoGLaMM.py:770-879): every [SEG] slot is
+        an object prompted on frame 0, propagated with memory attention.
+
+        frames_sam: [T, S, S, 3]; seg_embeds: [ms, C].
+        Returns low-res mask logits [ms, T, 4E, 4E]."""
+        from .sam2.video_predictor import track_video
+        feats, pos = self.sam.forward_image(frames_sam)   # [T, h, w, c]
+        ms = seg_embeds.shape[0]
+        feats = [jnp.broadcast_to(f[None], (ms,) + f.shape) for f in feats]
+        res = track_video(self.sam, feats, pos, seg_embeds[:, None, :])
+        return res.low_res_masks
+
+    # ------------------------------------------------------------------
     def __call__(self, frames, context_images, frames_sam, input_ids,
                  text_lens, labels, video_idx, gt_masks,
                  freeze_towers: bool = True, return_pred_masks: bool = False):
@@ -242,6 +257,14 @@ class VideoGLaMM(nn.Module):
                           MASK_IGNORE_INDEX padding
         """
         cfg = self.cfg
+
+        if self.is_initializing():
+            # touch the full SAM2Base path (memory encoder/attention,
+            # obj_ptr_proj, no_mem embeds) so the param tree is complete for
+            # the video-branch tracker even though training never runs it
+            self.sam(frames_sam[:1, 0],
+                     text_inputs=jnp.zeros((1, 1, cfg.sam2.d_model),
+                                           jnp.float32))
 
         visual = self.encode_visual_prefix(frames, context_images)
         sam_feats, _ = self.encode_sam_features(frames_sam)

@@ -36,6 +36,35 @@ def _linear_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
+def _cubic_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """1-D cubic-convolution interpolation (a=-0.75) with half-pixel centers
+    and edge clamping — torch F.interpolate(mode='bicubic',
+    align_corners=False) semantics."""
+    a = -0.75
+
+    def k(t):
+        t = abs(t)
+        if t <= 1:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        m[:, 0] = 1.0
+        return m
+    scale = in_size / out_size
+    for i in range(out_size):
+        src = (i + 0.5) * scale - 0.5
+        lo = int(np.floor(src))
+        for j in range(lo - 1, lo + 3):
+            w = k(src - j)
+            m[i, min(max(j, 0), in_size - 1)] += w
+    return m
+
+
+@functools.lru_cache(maxsize=256)
 def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
     """Torch F.interpolate(mode='nearest'): src = floor(i * in/out)."""
     m = np.zeros((out_size, in_size), dtype=np.float32)
@@ -64,6 +93,21 @@ def resize_bilinear(x, out_hw, channels_last: bool = True):
     H, W = x.shape[-3], x.shape[-2]
     mh = jnp.asarray(_linear_matrix(H, oh))
     mw = jnp.asarray(_linear_matrix(W, ow))
+    y = _apply_separable(x, mh, mw).astype(x.dtype)
+    if not channels_last:
+        y = jnp.moveaxis(y, -1, -3)
+    return y
+
+
+def resize_bicubic(x, out_hw, channels_last: bool = True):
+    """Bicubic resize matching torch align_corners=False (used by the Hiera
+    background position embedding, reference hieradet.py:271)."""
+    oh, ow = out_hw
+    if not channels_last:
+        x = jnp.moveaxis(x, -3, -1)
+    H, W = x.shape[-3], x.shape[-2]
+    mh = jnp.asarray(_cubic_matrix(H, oh))
+    mw = jnp.asarray(_cubic_matrix(W, ow))
     y = _apply_separable(x, mh, mw).astype(x.dtype)
     if not channels_last:
         y = jnp.moveaxis(y, -1, -3)
