@@ -1,0 +1,101 @@
+"""End-to-end golden parity: the flax SAM-2 stack (image encoder, text-prompt
+heads, memory encoder/attention, scan-based video propagation) vs the
+REFERENCE torch SAM2Base driven exactly as its video predictor drives it."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videoglamm_tpu.config import HieraConfig, SAM2Config
+from videoglamm_tpu.io.import_torch import import_sam2
+from videoglamm_tpu.models.sam2.sam2_base import SAM2Base
+from videoglamm_tpu.models.sam2.video_predictor import track_video
+
+from ref_sam2 import build_reference_sam2
+
+CFG = SAM2Config(
+    hiera=HieraConfig(embed_dim=16, num_heads=1, stages=(1, 2, 2, 1),
+                      global_att_blocks=(4,), window_spec=(4, 2, 2, 2)),
+    image_size=128, d_model=32, memory_attention_layers=2,
+    memory_attention_dim_feedforward=64, mem_dim=16,
+    memory_rope_feat_sizes=(8, 8))
+
+
+@pytest.fixture(scope="module")
+def models():
+    import torch
+    ref = build_reference_sam2(CFG)
+    model = SAM2Base(CFG, dtype=jnp.float32)
+    params = {"params": import_sam2(ref.state_dict(), CFG)}
+    return ref, model, params
+
+
+def _ref_track(ref, frames, text, n_obj):
+    """Drive the reference track_step per frame, maintaining output_dict the
+    way SAM2VideoPredictor does (sam2_video_predictor.py:744-1010)."""
+    import torch
+    T = frames.shape[0]
+    outs = []
+    output_dict = {"cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
+    with torch.no_grad():
+        for t in range(T):
+            img = torch.from_numpy(frames[t]).permute(2, 0, 1)[None]
+            img = img.expand(n_obj, -1, -1, -1)
+            backbone_out = ref.forward_image(img)
+            (_, feats, poss, sizes) = ref._prepare_backbone_features(
+                backbone_out)
+            out = ref.track_step(
+                frame_idx=t, is_init_cond_frame=(t == 0),
+                current_vision_feats=feats,
+                current_vision_pos_embeds=poss, feat_sizes=sizes,
+                point_inputs=None, mask_inputs=None,
+                output_dict=output_dict, num_frames=T,
+                text_inputs=(torch.from_numpy(text)[:, None]
+                             if t == 0 else None))
+            if t == 0:
+                output_dict["cond_frame_outputs"][t] = out
+            else:
+                output_dict["non_cond_frame_outputs"][t] = out
+            outs.append(out["pred_masks"][:, 0].numpy())
+    return np.stack(outs, axis=1)  # [n_obj, T, 4E, 4E]
+
+
+def test_full_video_tracking_golden(models):
+    ref, model, params = models
+    T, n_obj = 4, 2
+    rng = np.random.RandomState(0)
+    frames = rng.randn(T, CFG.image_size, CFG.image_size, 3).astype(
+        np.float32)
+    text = rng.randn(n_obj, CFG.d_model).astype(np.float32)
+
+    want = _ref_track(ref, frames, text, n_obj)
+
+    def fn(mdl):
+        feats, pos = mdl.forward_image(jnp.asarray(frames))
+        feats = [jnp.broadcast_to(f[None], (n_obj,) + f.shape) for f in feats]
+        return track_video(mdl, feats, pos, jnp.asarray(text)[:, None])
+
+    res = model.apply(params, method=fn)
+    got = np.asarray(res.low_res_masks)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=5e-3)
+
+
+def test_image_encoder_golden(models):
+    import torch
+    ref, model, params = models
+    rng = np.random.RandomState(1)
+    x = rng.randn(1, CFG.image_size, CFG.image_size, 3).astype(np.float32)
+    with torch.no_grad():
+        b = ref.forward_image(torch.from_numpy(x).permute(0, 3, 1, 2))
+    ref_fpn = [f.permute(0, 2, 3, 1).numpy() for f in b["backbone_fpn"]]
+
+    feats, _ = model.apply(
+        params, jnp.asarray(x),
+        method=lambda mdl, a: mdl.forward_image(a))
+    assert len(feats) == len(ref_fpn)
+    for got, want in zip(feats, ref_fpn):
+        np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
+                                   rtol=2e-3)

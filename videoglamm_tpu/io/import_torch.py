@@ -179,6 +179,181 @@ def import_sam2_hiera(state_dict: Mapping, cfg, prefix: str = ""):
     return params
 
 
+def _conv(sd, prefix):
+    """torch Conv2d -> flax Conv params."""
+    out = {"kernel": t2j(sd[prefix + ".weight"]).transpose(2, 3, 1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = t2j(sd[prefix + ".bias"])
+    return out
+
+
+def _conv1x1(sd, prefix):
+    """torch 1x1 Conv2d -> Dense params."""
+    w = t2j(sd[prefix + ".weight"])
+    out = {"kernel": w[:, :, 0, 0].transpose(1, 0)}
+    if prefix + ".bias" in sd:
+        out["bias"] = t2j(sd[prefix + ".bias"])
+    return out
+
+
+def _convT(sd, prefix):
+    """torch ConvTranspose2d (in,out,kh,kw) -> flax ConvTranspose params.
+    flax's conv_transpose convolves with the kernel as-is (no flip), while
+    torch's transposed conv scatters with it — spatially flip to match."""
+    w = t2j(sd[prefix + ".weight"]).transpose(2, 3, 0, 1)
+    out = {"kernel": w[::-1, ::-1]}
+    if prefix + ".bias" in sd:
+        out["bias"] = t2j(sd[prefix + ".bias"])
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": t2j(sd[prefix + ".weight"]),
+            "bias": t2j(sd[prefix + ".bias"])}
+
+
+def _sam_attn(sd, prefix):
+    return {name: _linear(sd, f"{prefix}.{name}")
+            for name in ("q_proj", "k_proj", "v_proj", "out_proj")}
+
+
+def _mlp_block(sd, prefix, n):
+    return {f"layers_{j}": _linear(sd, f"{prefix}.layers.{j}")
+            for j in range(n)}
+
+
+def import_sam2(state_dict: Mapping, cfg, prefix: str = "") -> dict:
+    """Full reference SAM-2 torch checkpoint -> flax SAM2Base params.
+
+    Accepts checkpoints after the fork's `.gamma`->`.weight` rename
+    (model/segment_anything_2/sam2/build_sam.py:93-116). `prefix` strips an
+    outer scope (e.g. "visual_model." inside a VideoGLaMM export)."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+
+    # --- image encoder ---
+    n_levels = len(cfg.hiera.stages)
+    neck = {f"convs_{j}": _conv1x1(sd, f"image_encoder.neck.convs.{j}.conv")
+            for j in range(n_levels)}
+    image_encoder = {
+        "trunk": import_sam2_hiera(sd, cfg.hiera, prefix="image_encoder.trunk."),
+        "neck": neck,
+    }
+
+    # --- prompt encoder ---
+    pe = "sam_prompt_encoder."
+    prompt_encoder = {
+        "pe_gauss": t2j(sd[pe + "pe_layer.positional_encoding_gaussian_matrix"]),
+        "point_embeddings": jnp.concatenate(
+            [t2j(sd[pe + f"point_embeddings.{i}.weight"]) for i in range(4)]),
+        "not_a_point_embed": t2j(sd[pe + "not_a_point_embed.weight"])[0],
+        "no_mask_embed": t2j(sd[pe + "no_mask_embed.weight"])[0],
+        "mask_conv1": _conv(sd, pe + "mask_downscaling.0"),
+        "mask_ln1": _ln(sd, pe + "mask_downscaling.1"),
+        "mask_conv2": _conv(sd, pe + "mask_downscaling.3"),
+        "mask_ln2": _ln(sd, pe + "mask_downscaling.4"),
+        "mask_conv3": _conv(sd, pe + "mask_downscaling.6"),
+    }
+
+    # --- mask decoder ---
+    md = "sam_mask_decoder."
+    tw_layers = {}
+    i = 0
+    while f"{md}transformer.layers.{i}.norm1.weight" in sd:
+        p = f"{md}transformer.layers.{i}."
+        tw_layers[f"layers_{i}"] = {
+            "self_attn": _sam_attn(sd, p + "self_attn"),
+            "cross_attn_token_to_image": _sam_attn(
+                sd, p + "cross_attn_token_to_image"),
+            "cross_attn_image_to_token": _sam_attn(
+                sd, p + "cross_attn_image_to_token"),
+            "mlp": {"fc1": _linear(sd, p + "mlp.layers.0"),
+                    "fc2": _linear(sd, p + "mlp.layers.1")},
+            "norm1": _ln(sd, p + "norm1"),
+            "norm2": _ln(sd, p + "norm2"),
+            "norm3": _ln(sd, p + "norm3"),
+            "norm4": _ln(sd, p + "norm4"),
+        }
+        i += 1
+    transformer = dict(tw_layers)
+    transformer["final_attn_token_to_image"] = _sam_attn(
+        sd, md + "transformer.final_attn_token_to_image")
+    transformer["norm_final_attn"] = _ln(sd, md + "transformer.norm_final_attn")
+
+    nmt = t2j(sd[md + "mask_tokens.weight"]).shape[0]
+    mask_decoder = {
+        "obj_score_token": t2j(sd[md + "obj_score_token.weight"]),
+        "iou_token": t2j(sd[md + "iou_token.weight"]),
+        "mask_tokens": t2j(sd[md + "mask_tokens.weight"]),
+        "transformer": transformer,
+        "upscale_conv1": _convT(sd, md + "output_upscaling.0"),
+        "upscale_ln": _ln(sd, md + "output_upscaling.1"),
+        "upscale_conv2": _convT(sd, md + "output_upscaling.3"),
+        "iou_head": _mlp_block(sd, md + "iou_prediction_head", 3),
+        "obj_score_head": _mlp_block(sd, md + "pred_obj_score_head", 3),
+    }
+    for i in range(nmt):
+        mask_decoder[f"hyper_mlps_{i}"] = _mlp_block(
+            sd, md + f"output_hypernetworks_mlps.{i}", 3)
+
+    # --- memory encoder ---
+    me = "memory_encoder."
+    memory_encoder = {
+        "mask_down_out": _conv(sd, me + "mask_downsampler.encoder.12"),
+        "pix_feat_proj": _conv1x1(sd, me + "pix_feat_proj"),
+        "out_proj": _conv1x1(sd, me + "out_proj"),
+    }
+    for i in range(4):
+        memory_encoder[f"mask_down_{i}"] = _conv(
+            sd, me + f"mask_downsampler.encoder.{3 * i}")
+        memory_encoder[f"mask_down_ln_{i}"] = _ln(
+            sd, me + f"mask_downsampler.encoder.{3 * i + 1}")
+    for i in range(2):
+        p = me + f"fuser.layers.{i}."
+        memory_encoder[f"fuser_{i}"] = {
+            "dwconv": _conv(sd, p + "dwconv"),
+            "norm": _ln(sd, p + "norm"),
+            "pwconv1": _linear(sd, p + "pwconv1"),
+            "pwconv2": _linear(sd, p + "pwconv2"),
+            # fork renames CXBlock.gamma -> .weight (build_sam.py:100)
+            "gamma": t2j(sd[p + "weight"] if p + "weight" in sd
+                         else sd[p + "gamma"]),
+        }
+
+    # --- memory attention ---
+    ma_layers = {}
+    for i in range(cfg.memory_attention_layers):
+        p = f"memory_attention.layers.{i}."
+        ma_layers[f"layers_{i}"] = {
+            "self_attn": _sam_attn(sd, p + "self_attn"),
+            "cross_attn_image": _sam_attn(sd, p + "cross_attn_image"),
+            "linear1": _linear(sd, p + "linear1"),
+            "linear2": _linear(sd, p + "linear2"),
+            "norm1": _ln(sd, p + "norm1"),
+            "norm2": _ln(sd, p + "norm2"),
+            "norm3": _ln(sd, p + "norm3"),
+        }
+    memory_attention = dict(ma_layers)
+    memory_attention["norm"] = _ln(sd, "memory_attention.norm")
+
+    return {
+        "image_encoder": image_encoder,
+        "sam_prompt_encoder": prompt_encoder,
+        "sam_mask_decoder": mask_decoder,
+        "conv_s0": _conv1x1(sd, md + "conv_s0"),
+        "conv_s1": _conv1x1(sd, md + "conv_s1"),
+        "memory_encoder": memory_encoder,
+        "memory_attention": memory_attention,
+        "no_mem_embed": t2j(sd["no_mem_embed"]),
+        "no_mem_pos_enc": t2j(sd["no_mem_pos_enc"]),
+        "maskmem_tpos_enc": t2j(sd["maskmem_tpos_enc"]).reshape(
+            cfg.num_maskmem, 1, cfg.mem_dim),
+        "no_obj_ptr": t2j(sd["no_obj_ptr"])[0],
+        "obj_ptr_proj": _mlp_block(sd, "obj_ptr_proj", 3),
+        "mask_downsample": _conv(sd, "mask_downsample"),
+    }
+
+
 def import_clip_vision(state_dict: Mapping, cfg, prefix: str = "vision_model."):
     """HF CLIPVisionModel state_dict -> CLIPVisionTower flax params.
 
