@@ -49,11 +49,16 @@ def import_phi3(state_dict: Mapping, cfg, extra_vocab: int = 0):
 
     emb = t2j(sd["model.embed_tokens.weight"])
     head = jnp.swapaxes(t2j(sd["lm_head.weight"]), 0, 1)
-    if extra_vocab:
-        emb_pad = jnp.tile(emb.mean(0, keepdims=True), (extra_vocab, 1))
-        emb = jnp.concatenate([emb, emb_pad], axis=0)
-        head_pad = jnp.tile(head.mean(1, keepdims=True), (1, extra_vocab))
-        head = jnp.concatenate([head, head_pad], axis=1)
+    # pad up to vocab+extra rows (exports that already resized for [SEG]
+    # carry the rows; fresh base checkpoints need mean-init padding,
+    # reference train_ds_with_videogptplus.py:297-300)
+    target = cfg.vocab_size + extra_vocab
+    if emb.shape[0] < target:
+        n = target - emb.shape[0]
+        emb = jnp.concatenate(
+            [emb, jnp.tile(emb.mean(0, keepdims=True), (n, 1))], axis=0)
+        head = jnp.concatenate(
+            [head, jnp.tile(head.mean(1, keepdims=True), (1, n))], axis=1)
 
     layers = {
         "input_layernorm": {"scale": _stack_layers(
@@ -352,6 +357,64 @@ def import_sam2(state_dict: Mapping, cfg, prefix: str = "") -> dict:
         "obj_ptr_proj": _mlp_block(sd, "obj_ptr_proj", 3),
         "mask_downsample": _conv(sd, "mask_downsample"),
     }
+
+
+def import_projector(sd: Mapping, prefix: str, projector_type: str) -> dict:
+    """torch Sequential projector -> VisionProjector params (reference
+    build_vision_projector, multimodal_projector/builder.py:5-55)."""
+    if projector_type == "linear":
+        return {"fc0": _linear(sd, prefix)}
+    if projector_type == "mlp2x_gelu":
+        return {"fc0": _linear(sd, prefix + ".0"),
+                "fc1": _linear(sd, prefix + ".2")}
+    raise ValueError(projector_type)
+
+
+def import_text_hidden_fcs(sd: Mapping,
+                           prefix: str = "model.text_hidden_fcs.0") -> dict:
+    """reference text_hidden_fcs Sequential(Linear, ReLU, Linear, Dropout)
+    (model/VideoGLaMM.py:133-145) -> TextHiddenFCs params."""
+    return {"fc0": _linear(sd, prefix + ".0"),
+            "fc1": _linear(sd, prefix + ".2")}
+
+
+def import_videoglamm(state_dict: Mapping, cfg) -> dict:
+    """Reference VideoGLaMM HF export -> composite flax param tree (towers
+    excluded — load those via import_clip_vision / import_internvideo2).
+
+    The export layout (train_ds_with_videogptplus.py:319-343 save path):
+      model.embed_tokens / model.layers.* / model.norm / lm_head  -> Phi-3
+      model.mm_projector.* / model.image_mm_projector.*           -> V->L
+      model.text_hidden_fcs.0.*                                   -> L->V
+      model.visual_model.*                                        -> SAM-2
+    """
+    sd = dict(state_dict)
+    params = {
+        "llm": import_phi3(sd, cfg.llm, extra_vocab=1),
+        "mm_projector": import_projector(
+            sd, "model.mm_projector", cfg.mm_projector_type),
+        "image_mm_projector": import_projector(
+            sd, "model.image_mm_projector", cfg.mm_projector_type),
+        "text_hidden_fcs": import_text_hidden_fcs(sd),
+        "sam": import_sam2(sd, cfg.sam2, prefix="model.visual_model."),
+    }
+    return params
+
+
+def compose_videoglamm_params(hf_state_dict: Mapping, cfg,
+                              internvideo_state_dict: Mapping = None,
+                              clip_state_dict: Mapping = None) -> dict:
+    """Full composite param tree from the three reference checkpoint sources
+    (HF export + InternVideo2 ckpt + CLIP vision ckpt), mirroring the
+    reference's composed load (chat.py:280-325)."""
+    params = import_videoglamm(hf_state_dict, cfg)
+    if internvideo_state_dict is not None:
+        params["vision_tower"] = import_internvideo2(
+            internvideo_state_dict, cfg.internvideo)
+    if clip_state_dict is not None:
+        params["image_vision_tower"] = import_clip_vision(
+            clip_state_dict, cfg.clip)
+    return params
 
 
 def import_clip_vision(state_dict: Mapping, cfg, prefix: str = "vision_model."):
