@@ -44,9 +44,9 @@ def sample_frame_indices(total: int, num: int) -> np.ndarray:
     return np.linspace(0, total - 1, num).astype(np.int64)
 
 
-def preprocess_internvideo(frames: Sequence) -> np.ndarray:
-    """[T] images -> [T, 224, 224, 3] f32 (ImageNet-normalized)."""
-    size = INTERNVIDEO_IMAGE_SIZE
+def preprocess_internvideo(frames: Sequence,
+                           size: int = INTERNVIDEO_IMAGE_SIZE) -> np.ndarray:
+    """[T] images -> [T, size, size, 3] f32 (ImageNet-normalized)."""
     mean = np.asarray(IMAGENET_MEAN, np.float32)
     std = np.asarray(IMAGENET_STD, np.float32)
     out = []
@@ -57,11 +57,11 @@ def preprocess_internvideo(frames: Sequence) -> np.ndarray:
     return np.stack(out)
 
 
-def preprocess_clip(frames: Sequence) -> np.ndarray:
-    """[T] images -> [T, 336, 336, 3] f32 (CLIP-normalized).
+def preprocess_clip(frames: Sequence,
+                    size: int = CLIP_IMAGE_SIZE) -> np.ndarray:
+    """[T] images -> [T, size, size, 3] f32 (CLIP-normalized).
     Shortest-edge bicubic resize + center crop, matching HF
     CLIPImageProcessor defaults."""
-    size = CLIP_IMAGE_SIZE
     mean = np.asarray(CLIP_MEAN, np.float32)
     std = np.asarray(CLIP_STD, np.float32)
     out = []
@@ -79,10 +79,10 @@ def preprocess_clip(frames: Sequence) -> np.ndarray:
     return np.stack(out)
 
 
-def preprocess_sam2(frames: Sequence) -> np.ndarray:
-    """[T] images -> [T, 1024, 1024, 3] f32 (SAM-normalized).
-    ResizeLongestSide -> normalize -> bilinear to 1024^2 (sam2 path)."""
-    size = SAM_IMAGE_SIZE
+def preprocess_sam2(frames: Sequence,
+                    size: int = SAM_IMAGE_SIZE) -> np.ndarray:
+    """[T] images -> [T, size, size, 3] f32 (SAM-normalized).
+    ResizeLongestSide -> normalize -> bilinear to size^2 (sam2 path)."""
     mean = np.asarray(SAM_PIXEL_MEAN, np.float32)
     std = np.asarray(SAM_PIXEL_STD, np.float32)
     out = []
