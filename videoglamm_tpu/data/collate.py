@@ -28,7 +28,9 @@ def build_batch(samples: Sequence[dict], *, max_text_len: int,
         context_images: [T, 336, 336, 3]
         frames_sam:     [T_sam, S, S, 3]
         conversations:  list of (input_ids [L], labels [L]) int sequences
-        masks:          [n_seg, T_sam, h, w] float binary (or None)
+        masks:          per-conversation list of [n_seg_i, T_sam, h, w]
+                        arrays (or a single array for 1-conversation
+                        samples, or None)
     Returns the model batch dict (videoglamm.VideoGLaMM.__call__ contract).
     """
     frames, ctx, sam = [], [], []
@@ -42,6 +44,10 @@ def build_batch(samples: Sequence[dict], *, max_text_len: int,
         hw = mask_hw or (s["frames_sam"].shape[1] // 4,
                          s["frames_sam"].shape[2] // 4)
 
+        sample_masks = s.get("masks")
+        if sample_masks is not None and not isinstance(sample_masks,
+                                                       (list, tuple)):
+            sample_masks = [sample_masks]
         for ci, (ids, lab) in enumerate(s["conversations"]):
             ids = np.asarray(ids, np.int64)[:max_text_len]
             lab = np.asarray(lab, np.int64)[:max_text_len]
@@ -55,7 +61,9 @@ def build_batch(samples: Sequence[dict], *, max_text_len: int,
             rows_vidx.append(vi)
 
             gm = np.full((max_seg, t_sam) + hw, MASK_IGNORE_INDEX, np.float32)
-            m = s.get("masks")
+            m = None
+            if sample_masks is not None and ci < len(sample_masks):
+                m = sample_masks[ci]
             if m is not None and len(m):
                 m = np.asarray(m, np.float32)[:max_seg]
                 gm[:m.shape[0]] = m

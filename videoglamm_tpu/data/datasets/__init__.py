@@ -1,0 +1,8 @@
+from .templates import (ANSWER_LIST, GCG_QUESTIONS, IMAGE_QUESTION_LIST,
+                        VIDEO_QUESTION_LIST)
+from .base import DatasetSpec, HybridDataset, SampleBuilder
+from .video_gcg import GCGVideoDataset
+from .refer_vos import ReferVOSDataset
+from .reason_seg import ReasonSegDataset, get_mask_from_json
+from .sem_seg import SemSegDataset
+from .vqa import VQADataset
