@@ -1,0 +1,63 @@
+"""Trainer runtime: loop + meters + checkpoint/resume; ReasonSeg validator."""
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from videoglamm_tpu.config import TrainConfig
+from videoglamm_tpu.models import VideoGLaMM
+from videoglamm_tpu.training import (create_train_state, make_optimizer,
+                                     make_train_step)
+from videoglamm_tpu.training.trainer import (Trainer, validate_reasonseg,
+                                             ScalarLogger)
+
+from test_videoglamm import CFG, make_batch
+
+
+def test_trainer_loop_and_resume(tmp_path):
+    model = VideoGLaMM(CFG, dtype=jnp.float32)
+    batch = make_batch(np.random.RandomState(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.PRNGKey(0), **jb)["params"]
+    tcfg = TrainConfig(warmup_steps=1, total_steps=6)
+    tx = make_optimizer(tcfg, params)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx))
+
+    batches = itertools.repeat(jb)
+    tr = Trainer(step, state, batches, steps_per_epoch=2, epochs=2,
+                 log_dir=str(tmp_path / "logs"),
+                 ckpt_dir=str(tmp_path / "ckpts"), log_every=1)
+    final = tr.train()
+    assert int(final.step) == 4
+    assert os.path.exists(tmp_path / "logs" / "scalars.jsonl")
+
+    # resume: fresh trainer restores epoch 2 state
+    state2 = create_train_state(params, tx)
+    tr2 = Trainer(step, state2, batches, steps_per_epoch=2, epochs=3,
+                  log_dir=str(tmp_path / "logs"),
+                  ckpt_dir=str(tmp_path / "ckpts"), log_every=1)
+    assert tr2.resume()
+    assert tr2.start_epoch == 2
+    assert int(tr2.state.step) == 4
+    final2 = tr2.train()
+    assert int(final2.step) == 6
+
+
+def test_validate_reasonseg_math(tmp_path):
+    gt = np.zeros((2, 8, 8), np.int64)
+    gt[0, :4] = 1
+    # perfect prediction on sample 0; empty on an empty-gt sample
+    def predict(sample):
+        if sample == 0:
+            return gt[0:1] == 1, gt[0:1]
+        return np.zeros((1, 8, 8), bool), np.zeros((1, 8, 8), np.int64)
+
+    giou, ciou = validate_reasonseg(predict, [0, 1],
+                                    ScalarLogger(str(tmp_path)))
+    assert giou == pytest.approx(1.0)   # IoU 1 + no-object convention 1
+    assert ciou == pytest.approx(1.0)
