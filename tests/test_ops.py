@@ -161,3 +161,50 @@ def test_attention_grad_flows():
     v = jnp.asarray(rng.randn(1, 2, 8, 4), jnp.float32)
     g = jax.grad(lambda q_: dot_product_attention(q_, k, v, causal=True).sum())(q)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_connected_components_vs_scipy():
+    from scipy import ndimage
+    from videoglamm_tpu.ops import connected_components
+    rng = np.random.RandomState(7)
+    masks = np.stack([rng.rand(24, 31) > 0.6 for _ in range(3)])
+    labels, areas = connected_components(jnp.asarray(masks))
+    labels, areas = np.asarray(labels), np.asarray(areas)
+    struct = np.ones((3, 3))
+    for b in range(3):
+        ref_lab, n = ndimage.label(masks[b], structure=struct)
+        # same partition: component count and a consistent bijection
+        got = labels[b]
+        assert (got > 0).sum() == (ref_lab > 0).sum()
+        assert len(np.unique(got[got > 0])) == n
+        for lab_id in np.unique(got[got > 0]):
+            sel = got == lab_id
+            ref_vals = np.unique(ref_lab[sel])
+            assert len(ref_vals) == 1            # no split
+            assert (ref_lab == ref_vals[0]).sum() == sel.sum()  # no merge
+        # areas
+        ref_areas = ndimage.sum_labels(masks[b], ref_lab,
+                                       np.arange(1, n + 1))
+        for lab_id in np.unique(got[got > 0]):
+            sel = got == lab_id
+            assert areas[b][sel][0] == sel.sum()
+
+
+def test_small_object_removal_device():
+    from videoglamm_tpu.ops import remove_small_objects_device
+    m = np.zeros((1, 16, 16), bool)
+    m[0, 1:7, 1:7] = True     # 36 px
+    m[0, 12, 12] = True       # 1 px sprinkle
+    out = np.asarray(remove_small_objects_device(jnp.asarray(m), 5))
+    assert out[0, 2, 2] and not out[0, 12, 12]
+
+
+def test_hole_filling_device():
+    from videoglamm_tpu.ops import postprocess_mask_scores
+    logits = np.full((1, 16, 16), 5.0, np.float32)   # foreground everywhere
+    logits[0, 5, 5] = -5.0                           # 1-px hole
+    logits[0, :2] = -5.0                             # big background region
+    out = np.asarray(postprocess_mask_scores(jnp.asarray(logits),
+                                             max_hole_area=4))
+    assert out[0, 5, 5] > 0                          # hole filled
+    assert out[0, 0, 0] < 0                          # big region untouched
