@@ -199,3 +199,72 @@ def test_hybrid_to_train_step(gcg_root, mevis_root):
     state, metrics = step(state, jb)
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["mask_bce_loss"]) > 0
+
+
+def test_temporal_grounding_dataset(tmp_path):
+    rng = np.random.RandomState(5)
+    d = tmp_path / "media" / "vidA"
+    for t in range(6):
+        _save_img(str(d / f"{t:03d}.jpg"),
+                  rng.randint(0, 255, (16, 16, 3), np.uint8))
+    txt = tmp_path / "charades.txt"
+    txt.write_text("vidA 1.0 3.0##a person opens the door\n")
+    from videoglamm_tpu.data.datasets import TemporalGroundingDataset
+    ds = TemporalGroundingDataset.from_charades_sta(
+        str(txt), str(tmp_path / "media"), max_num_frames=4)
+    rec = ds[0]
+    assert len(rec["frames"]) == 4
+    a = rec["sources"][0][1]["value"]
+    assert "frames:(" in a
+    # span rescaled from 6 raw frames to 4: f in [floor(1*1), ceil(3*1)]
+    # scaled by 4/6
+    assert "frames:(0,2)" in a
+    assert "temporally locate" in rec["sources"][0][0]["value"] or \
+        "temporal" in rec["sources"][0][0]["value"]
+
+
+def test_gcg_from_expressions(mevis_root):
+    from videoglamm_tpu.data.datasets import (GCGFromExpressions,
+                                              ReferVOSDataset)
+    ds = GCGFromExpressions(ReferVOSDataset(str(mevis_root)))
+    rec = ds[0]
+    cap = rec["sources"][0][1]["value"]
+    assert "<p> the striped cat </p> [SEG]" in cap
+    assert rec["masks"][0].shape[0] == 1
+
+
+def test_grandf_dataset(tmp_path):
+    from videoglamm_tpu.data.rle import rle_encode
+    from videoglamm_tpu.data.datasets import GranDfDataset
+    rng = np.random.RandomState(6)
+    _save_img(str(tmp_path / "img" / "z.jpg"),
+              rng.randint(0, 255, (20, 20, 3), np.uint8))
+    m = np.zeros((20, 20), bool)
+    m[3:9, 3:9] = True
+    anns = [{"image": "z.jpg", "caption": "A red ball on the grass",
+             "groundings": {"red ball": [rle_encode(m)]}}]
+    json.dump(anns, open(tmp_path / "ann.json", "w"))
+    ds = GranDfDataset(str(tmp_path / "ann.json"), str(tmp_path / "img"))
+    rec = ds[0]
+    assert "<p> red ball </p> [SEG]" in rec["sources"][0][1]["value"]
+    assert rec["masks"][0].shape == (1, 1, 20, 20)
+
+
+def test_vidstg_dataset(tmp_path):
+    from videoglamm_tpu.data.rle import rle_encode
+    from videoglamm_tpu.data.datasets import VidSTGDataset
+    rng = np.random.RandomState(7)
+    fdir = tmp_path / "frames"
+    for t in range(2):
+        _save_img(str(fdir / f"{t}.jpg"),
+                  rng.randint(0, 255, (14, 14, 3), np.uint8))
+    m = np.zeros((14, 14), bool)
+    m[2:6, 2:6] = True
+    anns = [{"vid": "v", "frames_dir": str(fdir),
+             "question": "the man in red", "qtype": "declarative",
+             "mask_rles": [rle_encode(m), None]}]
+    json.dump(anns, open(tmp_path / "ann.json", "w"))
+    ds = VidSTGDataset(str(tmp_path / "ann.json"))
+    rec = ds[0]
+    assert rec["masks"][0].shape == (1, 2, 14, 14)
+    assert rec["masks"][0][0, 0].any() and not rec["masks"][0][0, 1].any()

@@ -177,3 +177,44 @@ def test_clip_tower_matches_hf():
     model = CLIPVisionTower(cfg, dtype=jnp.float32)
     out = model.apply(params, jnp.asarray(x_np).transpose(0, 2, 3, 1))
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_llama_matches_hf_transformers():
+    """Golden parity: tiny HF Llama (with llama3 rope scaling) -> import ->
+    same logits."""
+    import torch
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM as HFLlama
+
+    from videoglamm_tpu.config import LlamaConfig
+    from videoglamm_tpu.io.import_torch import import_llama
+    from videoglamm_tpu.models.llama import LlamaForCausalLM
+
+    cfg = LlamaConfig.tiny()
+    hf_cfg = HFLlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_layers,
+        num_attention_heads=cfg.num_heads,
+        num_key_value_heads=cfg.num_kv_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 8192},
+        attention_bias=False, tie_word_embeddings=False)
+    torch.manual_seed(0)
+    hf = HFLlama(hf_cfg).eval()
+
+    model = LlamaForCausalLM(cfg, dtype=jnp.float32)
+    params = {"params": import_llama(hf.state_dict(), cfg)}
+
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 9))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    positions = jnp.arange(9)[None].repeat(2, 0)
+    logits, _, _ = model.apply(
+        params, jnp.asarray(ids), positions, jnp.full((2,), 9, jnp.int32),
+        method=LlamaForCausalLM.forward_ids)
+    np.testing.assert_allclose(np.asarray(logits), want, atol=3e-4,
+                               rtol=3e-4)

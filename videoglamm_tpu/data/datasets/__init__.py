@@ -6,3 +6,5 @@ from .refer_vos import ReferVOSDataset
 from .reason_seg import ReasonSegDataset, get_mask_from_json
 from .sem_seg import SemSegDataset
 from .vqa import VQADataset
+from .grounding_extra import (GCGFromExpressions, GranDfDataset,
+                              TemporalGroundingDataset, VidSTGDataset)

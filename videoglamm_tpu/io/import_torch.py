@@ -401,6 +401,102 @@ def import_videoglamm(state_dict: Mapping, cfg) -> dict:
     return params
 
 
+def _sam1_prompt_encoder(sd, pe="prompt_encoder."):
+    return {
+        "pe_gauss": t2j(sd[pe + "pe_layer.positional_encoding_gaussian_matrix"]),
+        "point_embeddings": jnp.concatenate(
+            [t2j(sd[pe + f"point_embeddings.{i}.weight"]) for i in range(4)]),
+        "not_a_point_embed": t2j(sd[pe + "not_a_point_embed.weight"])[0],
+        "no_mask_embed": t2j(sd[pe + "no_mask_embed.weight"])[0],
+        "mask_conv1": _conv(sd, pe + "mask_downscaling.0"),
+        "mask_ln1": _ln(sd, pe + "mask_downscaling.1"),
+        "mask_conv2": _conv(sd, pe + "mask_downscaling.3"),
+        "mask_ln2": _ln(sd, pe + "mask_downscaling.4"),
+        "mask_conv3": _conv(sd, pe + "mask_downscaling.6"),
+    }
+
+
+def import_sam1(state_dict: Mapping, cfg, prefix: str = "") -> dict:
+    """Reference SAM-1 (segment_anything fork, incl. the ITM variant) torch
+    state dict -> flax SAM1 params (models/sam1.py)."""
+    sd = {k[len(prefix):]: v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+
+    # --- image encoder ---
+    g = cfg.image_size // 16
+    enc = {
+        "patch_embedding": t2j(sd["image_encoder.patch_embed.proj.weight"]
+                               ).transpose(2, 3, 1, 0),
+        "patch_bias": t2j(sd["image_encoder.patch_embed.proj.bias"]),
+        "pos_embed": t2j(sd["image_encoder.pos_embed"])[0],
+        "neck_conv1": _conv1x1(sd, "image_encoder.neck.0"),
+        "neck_ln1": _ln(sd, "image_encoder.neck.1"),
+        "neck_conv2": _conv(sd, "image_encoder.neck.2"),
+        "neck_ln2": _ln(sd, "image_encoder.neck.3"),
+    }
+    for i in range(cfg.encoder_depth):
+        p = f"image_encoder.blocks.{i}."
+        enc[f"blocks_{i}"] = {
+            "norm1": _ln(sd, p + "norm1"),
+            "norm2": _ln(sd, p + "norm2"),
+            "attn": {
+                "qkv": _linear(sd, p + "attn.qkv"),
+                "proj": _linear(sd, p + "attn.proj"),
+                "rel_pos_h": t2j(sd[p + "attn.rel_pos_h"]),
+                "rel_pos_w": t2j(sd[p + "attn.rel_pos_w"]),
+            },
+            "mlp": {"fc1": _linear(sd, p + "mlp.lin1"),
+                    "fc2": _linear(sd, p + "mlp.lin2")},
+        }
+
+    # --- mask decoder ---
+    md = "mask_decoder."
+    tw = {}
+    i = 0
+    while f"{md}transformer.layers.{i}.norm1.weight" in sd:
+        p = f"{md}transformer.layers.{i}."
+        tw[f"layers_{i}"] = {
+            "self_attn": _sam_attn(sd, p + "self_attn"),
+            "cross_attn_token_to_image": _sam_attn(
+                sd, p + "cross_attn_token_to_image"),
+            "cross_attn_image_to_token": _sam_attn(
+                sd, p + "cross_attn_image_to_token"),
+            "mlp": {"fc1": _linear(sd, p + "mlp.lin1"),
+                    "fc2": _linear(sd, p + "mlp.lin2")},
+            "norm1": _ln(sd, p + "norm1"),
+            "norm2": _ln(sd, p + "norm2"),
+            "norm3": _ln(sd, p + "norm3"),
+            "norm4": _ln(sd, p + "norm4"),
+        }
+        i += 1
+    tw["final_attn_token_to_image"] = _sam_attn(
+        sd, md + "transformer.final_attn_token_to_image")
+    tw["norm_final_attn"] = _ln(sd, md + "transformer.norm_final_attn")
+
+    nmt = t2j(sd[md + "mask_tokens.weight"]).shape[0]
+    dec = {
+        "iou_token": t2j(sd[md + "iou_token.weight"]),
+        "mask_tokens": t2j(sd[md + "mask_tokens.weight"]),
+        "transformer": tw,
+        "upscale_conv1": _convT(sd, md + "output_upscaling.0"),
+        "upscale_ln": _ln(sd, md + "output_upscaling.1"),
+        "upscale_conv2": _convT(sd, md + "output_upscaling.3"),
+        "iou_head": _mlp_block(sd, md + "iou_prediction_head", 3),
+    }
+    for i in range(nmt):
+        dec[f"hyper_mlps_{i}"] = _mlp_block(
+            sd, md + f"output_hypernetworks_mlps.{i}", 3)
+    if md + "itm_head.mlp1.0.weight" in sd:
+        dec["itm_fc1"] = _linear(sd, md + "itm_head.mlp1.0")
+        dec["itm_fc2"] = _linear(sd, md + "itm_head.mlp2.0")
+
+    return {
+        "image_encoder": enc,
+        "prompt_encoder": _sam1_prompt_encoder(sd),
+        "mask_decoder": dec,
+    }
+
+
 def compose_videoglamm_params(hf_state_dict: Mapping, cfg,
                               internvideo_state_dict: Mapping = None,
                               clip_state_dict: Mapping = None) -> dict:
@@ -454,3 +550,39 @@ def import_clip_vision(state_dict: Mapping, cfg, prefix: str = "vision_model."):
             "mlp_fc2": _linear(sd, p + "mlp.fc2"),
         }
     return params
+
+
+def import_llama(state_dict: Mapping, cfg, extra_vocab: int = 0):
+    """HF LlamaForCausalLM state_dict -> LlamaForCausalLM flax params."""
+    sd = state_dict
+    L = cfg.num_layers
+    emb = t2j(sd["model.embed_tokens.weight"])
+    head_key = "lm_head.weight" if "lm_head.weight" in sd \
+        else "model.embed_tokens.weight"   # tied fallback
+    head = jnp.swapaxes(t2j(sd[head_key]), 0, 1)
+    target = cfg.vocab_size + extra_vocab
+    if emb.shape[0] < target:
+        n = target - emb.shape[0]
+        emb = jnp.concatenate(
+            [emb, jnp.tile(emb.mean(0, keepdims=True), (n, 1))], axis=0)
+        head = jnp.concatenate(
+            [head, jnp.tile(head.mean(1, keepdims=True), (1, n))], axis=1)
+
+    layers = {
+        "input_layernorm": {"scale": _stack_layers(
+            sd, "model.layers.{i}.input_layernorm.weight", L)},
+        "post_attention_layernorm": {"scale": _stack_layers(
+            sd, "model.layers.{i}.post_attention_layernorm.weight", L)},
+    }
+    for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        layers[name] = {"kernel": _stack_layers(
+            sd, "model.layers.{i}.self_attn." + name + ".weight", L, True)}
+    for name in ("gate_proj", "up_proj", "down_proj"):
+        layers[name] = {"kernel": _stack_layers(
+            sd, "model.layers.{i}.mlp." + name + ".weight", L, True)}
+    return {
+        "embed_tokens": {"embedding": emb},
+        "layers": layers,
+        "norm": {"scale": t2j(sd["model.norm.weight"])},
+        "lm_head": {"kernel": head},
+    }

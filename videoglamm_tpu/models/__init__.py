@@ -5,3 +5,5 @@ from .projectors import TextHiddenFCs, VisionProjector, build_visual_prefix
 from .multimodal import SplicedBatch, splice_visual_prefix
 from .videoglamm import VideoGLaMM, VideoGLaMMOutput, ce_loss_fn, dice_loss, \
     sigmoid_ce_loss
+from .sam1 import SAM1, SAM1ImageEncoder, SAM1MaskDecoder
+from .llama import LlamaForCausalLM, init_llama_kv_cache

@@ -82,10 +82,16 @@ class MultiHeadAttention(nn.Module):
                      name="out_proj")(o)
 
 
+def gelu_exact(x):
+    """torch nn.GELU default (erf form; flax nn.gelu defaults to the tanh
+    approximation, which diverges ~1e-3 from torch)."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: Optional[int] = None
-    activation: Callable = nn.gelu
+    activation: Callable = gelu_exact
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact

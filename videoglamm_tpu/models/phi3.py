@@ -29,8 +29,11 @@ from .common import Dense, RMSNorm
 
 def init_kv_cache(cfg: Phi3Config, batch: int, max_len: int,
                   extra_vocab: int = 0, dtype=jnp.bfloat16):
-    """Static-shape KV cache: [L, B, max_len, Hkv, hd] (+ per-row lengths)."""
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    """Static-shape KV cache laid out attention-ready: [L, B, Hkv, max_len,
+    hd] — updates are per-row dynamic slices and attention consumes the
+    buffer with NO transpose (a whole-cache transpose per layer per decode
+    step costs ~1.4 GB/step of HBM traffic at flagship scale)."""
+    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
     return {
         "k": jnp.zeros(shape, dtype),
         "v": jnp.zeros(shape, dtype),
@@ -82,13 +85,20 @@ class Phi3DecoderLayer(nn.Module):
         k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
 
         if cache_k is not None:
-            # scatter at each token's absolute position (right-padded prefill
-            # rows write their pad tokens past kv_len — harmless, masked out)
-            bidx = jnp.arange(B)[:, None]
-            cache_k = cache_k.at[bidx, positions].set(k.astype(cache_k.dtype))
-            cache_v = cache_v.at[bidx, positions].set(v.astype(cache_v.dtype))
-            k_att = cache_k.transpose(0, 2, 1, 3)              # [B,nkv,C,hd]
-            v_att = cache_v.transpose(0, 2, 1, 3)
+            # positions are contiguous per row (arange for prefill, a single
+            # slot for decode): write via per-row dynamic slices at each
+            # row's start position — no scatter, no cache transpose
+            kn = k.transpose(0, 2, 1, 3).astype(cache_k.dtype)  # [B,nkv,S,hd]
+            vn = v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
+            starts = positions[:, 0]
+
+            def upd(c, n, p0):
+                return jax.lax.dynamic_update_slice(c, n, (0, p0, 0))
+
+            cache_k = jax.vmap(upd)(cache_k, kn, starts)
+            cache_v = jax.vmap(upd)(cache_v, vn, starts)
+            k_att = cache_k
+            v_att = cache_v
         else:
             k_att = k.transpose(0, 2, 1, 3)
             v_att = v.transpose(0, 2, 1, 3)
