@@ -268,3 +268,75 @@ def test_vidstg_dataset(tmp_path):
     rec = ds[0]
     assert rec["masks"][0].shape == (1, 2, 14, 14)
     assert rec["masks"][0][0, 0].any() and not rec["masks"][0][0, 1].any()
+
+
+def test_refer_seg_dataset(tmp_path):
+    from videoglamm_tpu.data.datasets import ReferSegDataset
+    from videoglamm_tpu.data.rle import rle_encode
+    rng = np.random.RandomState(8)
+    _save_img(str(tmp_path / "img" / "r.jpg"),
+              rng.randint(0, 255, (18, 22, 3), np.uint8))
+    m = np.zeros((18, 22), bool)
+    m[4:10, 6:16] = True
+    anns = [{"image": "r.jpg", "height": 18, "width": 22,
+             "refs": [
+                 {"sentences": ["the left mug"], "segmentation": rle_encode(m)},
+                 {"sentences": ["a polygon thing"],
+                  "segmentation": [[2, 2, 12, 2, 12, 8, 2, 8]]},
+             ]}]
+    json.dump(anns, open(tmp_path / "ann.json", "w"))
+    ds = ReferSegDataset(str(tmp_path / "ann.json"), str(tmp_path / "img"))
+    rec = ds[0]
+    assert len(rec["sources"]) == 2
+    assert rec["masks"][0].shape == (1, 1, 18, 22)
+    assert rec["masks"][0].sum() == m.sum()
+    assert rec["masks"][1].sum() > 0   # polygon rasterized
+
+
+def test_grounded_video_qa(tmp_path):
+    from videoglamm_tpu.data.datasets import (GroundedVideoQADataset,
+                                              normalize_seg_answer)
+    from videoglamm_tpu.data.rle import rle_encode
+    txt, order = normalize_seg_answer("The dog [SEG:1] bites the ball [SEG:0].")
+    assert txt == "The dog [SEG] bites the ball [SEG]."
+    assert order == [1, 0]
+
+    rng = np.random.RandomState(9)
+    fdir = tmp_path / "f"
+    for t in range(3):
+        _save_img(str(fdir / f"{t}.jpg"),
+                  rng.randint(0, 255, (10, 10, 3), np.uint8))
+    m = np.zeros((10, 10), bool)
+    m[2:5, 2:5] = True
+    anns = [{"video_id": "v", "frames_dir": str(fdir),
+             "question": "What bites what?",
+             "answer": "The dog [SEG:0] bites the ball [SEG:1].",
+             "seg_token_to_obj": {
+                 "[SEG:0]": {"frame_id": 1, "rle": rle_encode(m)},
+                 "[SEG:1]": {"frame_id": 2, "rle": rle_encode(m)}}}]
+    json.dump(anns, open(tmp_path / "ann.json", "w"))
+    ds = GroundedVideoQADataset(str(tmp_path / "ann.json"))
+    rec = ds[0]
+    assert rec["sources"][0][1]["value"].count("[SEG]") == 2
+    tubes = rec["masks"][0]
+    assert tubes.shape == (2, 3, 10, 10)
+    assert (tubes[0, 1] == 1).any() and (tubes[0, 0] == -1).all()
+
+
+def test_sam_augmentations():
+    from videoglamm_tpu.data.augment import apply_sam_augmentations
+    rng = np.random.RandomState(10)
+    frames = rng.rand(3, 32, 32, 3).astype(np.float32)
+    masks = (rng.rand(2, 3, 32, 32) > 0.5).astype(np.float32)
+    f2, m2 = apply_sam_augmentations(frames, masks, t_train=5,
+                                     rng=np.random.RandomState(0))
+    assert f2.shape == (5, 32, 32, 3)
+    assert m2.shape == (2, 5, 32, 32)
+    assert set(np.unique(m2)) <= {0.0, 1.0}   # masks stay binary
+
+
+def test_clair_with_stub_judge():
+    from videoglamm_tpu.evals import clair_metric
+    judge = lambda prompt: '{"score": 80, "reason": "similar content"}'
+    out = clair_metric([["a dog runs"]], [["a dog is running"]], judge)
+    assert out["clair"] == 0.8 and out["n_scored"] == 1

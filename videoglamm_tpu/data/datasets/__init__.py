@@ -8,3 +8,5 @@ from .sem_seg import SemSegDataset
 from .vqa import VQADataset
 from .grounding_extra import (GCGFromExpressions, GranDfDataset,
                               TemporalGroundingDataset, VidSTGDataset)
+from .refer_seg import ReferSegDataset, decode_segmentation
+from .grounded_video_qa import GroundedVideoQADataset, normalize_seg_answer
