@@ -103,3 +103,23 @@ def test_orbax_roundtrip(tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lora_merge_matches_peft_math():
+    import torch
+    from videoglamm_tpu.io.import_torch import merge_lora_state_dict
+
+    torch.manual_seed(0)
+    base = {"model.layers.0.self_attn.qkv_proj.weight": torch.randn(12, 8)}
+    r, alpha = 2, 16
+    A = torch.randn(r, 8)
+    B = torch.randn(12, r)
+    lora = {
+        "base_model.model.model.layers.0.self_attn.qkv_proj.lora_A.weight": A,
+        "base_model.model.model.layers.0.self_attn.qkv_proj.lora_B.weight": B,
+    }
+    merged = merge_lora_state_dict(base, lora, r=r, alpha=alpha)
+    want = base["model.layers.0.self_attn.qkv_proj.weight"] \
+        + (B @ A) * (alpha / r)
+    assert torch.allclose(
+        merged["model.layers.0.self_attn.qkv_proj.weight"], want)

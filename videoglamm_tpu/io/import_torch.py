@@ -586,3 +586,30 @@ def import_llama(state_dict: Mapping, cfg, extra_vocab: int = 0):
         "norm": {"scale": t2j(sd["model.norm.weight"])},
         "lm_head": {"kernel": head},
     }
+
+
+def merge_lora_state_dict(state_dict: Mapping, lora_state_dict: Mapping,
+                          r: int, alpha: int = 16) -> dict:
+    """Merge a PEFT LoRA adapter into base torch weights BEFORE import
+    (the reference's third checkpoint format: base + non_lora_trainables.bin
+    + PEFT adapter merged via merge_and_unload,
+    train_ds_with_videogptplus.py:146-210,319-343).
+
+    PEFT keys look like `base_model.model.<path>.lora_A.weight` /
+    `...lora_B.weight`; the merged delta is B @ A * (alpha / r)."""
+    import torch
+    sd = dict(state_dict)
+    scale = alpha / r
+    for k, a in lora_state_dict.items():
+        if "lora_A" not in k:
+            continue
+        b_key = k.replace("lora_A", "lora_B")
+        base_key = (k.replace("base_model.model.", "")
+                     .replace(".lora_A.weight", ".weight")
+                     .replace(".lora_A.default.weight", ".weight"))
+        if base_key not in sd:
+            continue
+        b = lora_state_dict[b_key]
+        delta = (b.float() @ a.float()) * scale
+        sd[base_key] = sd[base_key].float() + delta
+    return sd

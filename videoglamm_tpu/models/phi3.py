@@ -51,9 +51,14 @@ class Phi3DecoderLayer(nn.Module):
     lora_alpha: float = 16.0
 
     @nn.compact
-    def __call__(self, x, positions, cache_k, cache_v, kv_lens):
-        """x: [B, S, D]; positions: [B, S]; kv_lens: [B] (total valid KV after
-        this block's tokens are appended); cache_k/v: [B, C, Hkv, hd] or None.
+    def __call__(self, x, positions, cache_k, cache_v, kv_lens,
+                 layer_idx=None):
+        """x: [B, S, D]; positions: [B, S]; kv_lens: [B] (total valid KV
+        after this block's tokens are appended); cache_k/v: the FULL stacked
+        [L, B, Hkv, C, hd] cache (or None) with `layer_idx` selecting this
+        layer's slab — stacked so the whole cache rides the scan carry and
+        updates stay tiny in-place dynamic slices instead of per-layer
+        xs->ys rematerializations (~1.4 GB/step at flagship scale).
 
         Returns (y, new_cache_k, new_cache_v)."""
         cfg = self.cfg
@@ -86,19 +91,34 @@ class Phi3DecoderLayer(nn.Module):
 
         if cache_k is not None:
             # positions are contiguous per row (arange for prefill, a single
-            # slot for decode): write via per-row dynamic slices at each
+            # slot for decode): write via in-place dynamic slices at each
             # row's start position — no scatter, no cache transpose
             kn = k.transpose(0, 2, 1, 3).astype(cache_k.dtype)  # [B,nkv,S,hd]
             vn = v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
             starts = positions[:, 0]
+            if B == 1:
+                cache_k = jax.lax.dynamic_update_slice(
+                    cache_k, kn[None], (layer_idx, 0, 0, starts[0], 0))
+                cache_v = jax.lax.dynamic_update_slice(
+                    cache_v, vn[None], (layer_idx, 0, 0, starts[0], 0))
+            else:
+                def upd(c, n, p0):
+                    return jax.lax.dynamic_update_slice(c, n, (0, p0, 0))
 
-            def upd(c, n, p0):
-                return jax.lax.dynamic_update_slice(c, n, (0, p0, 0))
-
-            cache_k = jax.vmap(upd)(cache_k, kn, starts)
-            cache_v = jax.vmap(upd)(cache_v, vn, starts)
-            k_att = cache_k
-            v_att = cache_v
+                slab_k = jax.vmap(upd)(
+                    jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0,
+                                                 keepdims=False), kn, starts)
+                slab_v = jax.vmap(upd)(
+                    jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
+                                                 keepdims=False), vn, starts)
+                cache_k = jax.lax.dynamic_update_slice_in_dim(
+                    cache_k, slab_k[None], layer_idx, 0)
+                cache_v = jax.lax.dynamic_update_slice_in_dim(
+                    cache_v, slab_v[None], layer_idx, 0)
+            k_att = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0,
+                                                 keepdims=False)
+            v_att = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
+                                                 keepdims=False)
         else:
             k_att = k.transpose(0, 2, 1, 3)
             v_att = v.transpose(0, 2, 1, 3)
@@ -148,12 +168,16 @@ class Phi3Model(nn.Module):
                           name="layers")
 
         if cache is not None:
-            def body(mdl, carry, xs):
-                y, nk, nv = mdl(carry, positions, xs[0], xs[1], kv_lens)
-                return y, (nk, nv)
+            # the stacked cache rides the CARRY: per-layer updates are tiny
+            # in-place slices, not per-layer stacked-output materializations
+            def body(mdl, carry, l):
+                y, ck, cv = carry
+                y, ck, cv = mdl(y, positions, ck, cv, kv_lens, l)
+                return (y, ck, cv), None
             scan = nn.scan(body, variable_axes={"params": 0},
                            split_rngs={"params": True}, length=cfg.num_layers)
-            x, (nk, nv) = scan(layer, embeds, (cache["k"], cache["v"]))
+            (x, nk, nv), _ = scan(layer, (embeds, cache["k"], cache["v"]),
+                                  jnp.arange(cfg.num_layers))
             new_cache = {"k": nk, "v": nv}
         else:
             def body(mdl, carry, xs):
