@@ -2,7 +2,11 @@
 
 Usage: python scripts/profile_sam_encoder.py
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax

@@ -99,3 +99,30 @@ def test_pipeline_end_to_end(setup):
         for s in range(CFG.max_seg_tokens):
             if not sv[b, s]:
                 assert np.all(pm[b, s] <= -1e3)
+
+
+def test_pipeline_sharded_over_mesh(setup, mesh8):
+    """Grounded inference with params sharded over the 4x2 (data, model)
+    mesh — GSPMD propagates shardings through encode/prefill/decode/SAM
+    (BASELINE: 'a full clip is grounded in one device program')."""
+    from videoglamm_tpu.parallel import shard_params
+
+    model, params, batch = setup
+    with mesh8:
+        sharded = {"params": shard_params(params["params"], mesh8)}
+        pipe = GroundedInference(model, sharded, max_new_tokens=4, eos_id=EOS)
+        res = pipe(batch["frames"][batch["video_idx"]],
+                   batch["context_images"][batch["video_idx"]],
+                   batch["frames_sam"][batch["video_idx"]],
+                   batch["input_ids"], batch["text_lens"])
+    assert np.isfinite(np.asarray(res.pred_masks)).any()
+    assert res.tokens.shape[1] == 4
+
+    # sharded and unsharded results agree
+    pipe0 = GroundedInference(model, params, max_new_tokens=4, eos_id=EOS)
+    res0 = pipe0(batch["frames"][batch["video_idx"]],
+                 batch["context_images"][batch["video_idx"]],
+                 batch["frames_sam"][batch["video_idx"]],
+                 batch["input_ids"], batch["text_lens"])
+    np.testing.assert_array_equal(np.asarray(res.tokens),
+                                  np.asarray(res0.tokens))

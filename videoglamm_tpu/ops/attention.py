@@ -252,7 +252,10 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     on_tpu = jax.default_backend() == "tpu"
-    long_enough = q.shape[2] >= 128 and k.shape[2] >= 128
+    # the Pallas kernel wins on long sequences; for short/windowed attention
+    # (Hiera windows, SAM decoder) the fused XLA softmax is faster — kernel
+    # dispatch + Dp/block padding dominate below ~1k tokens
+    long_enough = q.shape[2] >= 1024 and k.shape[2] >= 1024
     if (force_xla or bias is not None or kv_mask is not None or not on_tpu
             or not long_enough):
         return _attention_xla(q, k, v, causal=causal, sm_scale=sm_scale,

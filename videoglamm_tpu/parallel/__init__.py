@@ -5,3 +5,5 @@ from .partitioning import (
     with_sharding,
     zero_partition_spec,
 )
+from .distributed import (global_device_mesh, initialize_distributed,
+                          is_main_process)
