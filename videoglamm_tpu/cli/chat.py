@@ -64,7 +64,7 @@ def main(argv=None):
 
     tokenizer = load_tokenizer(args.tokenizer or args.checkpoint)
     model, params = load_model(args)
-    eos_id = tokenizer.eos_token_id or 32000
+    eos_id = tuple({tokenizer.eos_token_id or 32000, 32000, 32001, 32007})
     pipe = GroundedInference(model, params,
                              max_new_tokens=args.max_new_tokens,
                              eos_id=eos_id)

@@ -47,7 +47,8 @@ def main(argv=None):
     model, params = load_model(args)
     pipe = GroundedInference(model, params,
                              max_new_tokens=args.max_new_tokens,
-                             eos_id=tokenizer.eos_token_id or 32000)
+                             eos_id=tuple({tokenizer.eos_token_id or 32000,
+                                           32000, 32001, 32007}))
     conv_gen = ConvGenerator("phi3")
 
     meta = json.load(open(os.path.join(args.data_root, args.meta)))["videos"]

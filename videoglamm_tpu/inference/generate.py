@@ -37,14 +37,22 @@ class GenerateResult(NamedTuple):
 
 
 def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,
-                         *, max_new_tokens: int, eos_id: int,
+                         *, max_new_tokens: int, eos_id=32000,
                          pad_id: int = 0, temperature: float = 0.0,
                          rng: Optional[jax.Array] = None):
     """Greedy (temperature=0) or sampled decode of the composite's LLM.
 
     model: VideoGLaMM flax module (apply'd with `params`); uses its `llm`.
     visual_prefix: [B, V, H]; input_ids: [B, S_text] with one placeholder.
+    eos_id: int or tuple of ints — generation stops at ANY of them (Phi-3
+    instruct uses several terminators: <|endoftext|>=32000, <|end|>=32007).
     """
+    eos_ids = jnp.asarray(
+        eos_id if isinstance(eos_id, (tuple, list)) else [eos_id],
+        jnp.int32)
+
+    def is_stop(tok):
+        return jnp.any(tok[:, None] == eos_ids[None, :], axis=-1)
     B, S_text = input_ids.shape
     V = visual_prefix.shape[1]
     S_prefill = S_text - 1 + V
@@ -76,7 +84,7 @@ def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,
         rng = jax.random.PRNGKey(0)
 
     tok0 = sample(next_logits, rng)
-    done0 = tok0 == eos_id
+    done0 = is_stop(tok0)
 
     def step(carry, key):
         cache, tok, done, pos = carry
@@ -87,7 +95,7 @@ def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,
             "__call__", emb, pos[:, None], kv_lens, cache)
         nxt = sample(logits[:, -1], key)
         nxt = jnp.where(done, pad_id, nxt)
-        new_done = done | (nxt == eos_id)
+        new_done = done | is_stop(nxt)
         return (cache, nxt, new_done, pos + 1), \
             (tok, hidden[:, 0], done)
 

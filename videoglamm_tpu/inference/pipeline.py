@@ -57,7 +57,7 @@ class GroundedInference:
     """Jitted end-to-end grounded video chat / eval pipeline (framewise)."""
 
     def __init__(self, model, params, *, max_new_tokens: int = 128,
-                 eos_id: int = 32000, temperature: float = 0.0):
+                 eos_id=(32000, 32001, 32007), temperature: float = 0.0):
         self.model = model
         self.params = params
         self.max_new_tokens = max_new_tokens
