@@ -20,11 +20,13 @@ generated tokens recomputes the full ~3.4k-token prefix through the 3.8B LLM:
 (A100_BASELINE_FPS) is the denominator.
 """
 import json
+import os
 import time
 
 import numpy as np
 
 A100_BASELINE_FPS = 1.2
+INT8 = os.environ.get("BENCH_INT8") == "1"   # weight-only int8 LLM serving
 
 NUM_FRAMES = 16
 T_SAM = 8
@@ -44,7 +46,7 @@ def main():
     from videoglamm_tpu.models import VideoGLaMM
 
     cfg = VideoGLaMMConfig.flagship()
-    model = VideoGLaMM(cfg, dtype=jnp.bfloat16)
+    model = VideoGLaMM(cfg, dtype=jnp.bfloat16, quant_llm_int8=INT8)
 
     ids = np.full((1, S_TEXT), 5, np.int32)
     ids[:, 2] = IMAGE_TOKEN_INDEX
@@ -67,9 +69,11 @@ def main():
 
     shapes = jax.eval_shape(init_fn)
     params = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, jnp.bfloat16
-                            if jnp.issubdtype(s.dtype, jnp.floating)
-                            else s.dtype), shapes)
+        lambda s: jnp.zeros(s.shape,
+                            s.dtype if not jnp.issubdtype(s.dtype,
+                                                          jnp.floating)
+                            else jnp.float32 if (INT8 and s.ndim <= 2)
+                            else jnp.bfloat16), shapes)
 
     def clip_fn(params, frames, context_images, frames_sam, input_ids,
                 text_lens):
@@ -102,7 +106,8 @@ def main():
 
     fps = NUM_FRAMES / dt
     print(json.dumps({
-        "metric": "GCG frames/sec/chip (encode+decode+mask)",
+        "metric": "GCG frames/sec/chip (encode+decode+mask)"
+                  + (" [int8 LLM]" if INT8 else ""),
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 2),

@@ -218,3 +218,45 @@ def test_llama_matches_hf_transformers():
         method=LlamaForCausalLM.forward_ids)
     np.testing.assert_allclose(np.asarray(logits), want, atol=3e-4,
                                rtol=3e-4)
+
+
+def test_int8_quantized_decode_close_to_f32():
+    """Weight-only int8 Phi-3: same structure, outputs within quantization
+    tolerance of the float model; KV-cached decode path works."""
+    from videoglamm_tpu.io.import_torch import quantize_phi3_params
+    from videoglamm_tpu.models.phi3 import init_kv_cache
+
+    model = Phi3ForCausalLM(CFG, extra_vocab=1, dtype=jnp.float32)
+    ids0 = jnp.zeros((1, 8), jnp.int32)
+    pos0 = jnp.zeros((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(5), ids0, pos0,
+                        jnp.full((1,), 8, jnp.int32),
+                        method=Phi3ForCausalLM.forward_ids)
+    qparams = {"params": quantize_phi3_params(params["params"])}
+    qmodel = Phi3ForCausalLM(CFG, extra_vocab=1, dtype=jnp.float32,
+                             quant_int8=True)
+
+    B, S = 2, 10
+    ids = jax.random.randint(jax.random.PRNGKey(6), (B, S), 0,
+                             CFG.vocab_size)
+    positions = jnp.arange(S)[None].repeat(B, 0)
+    lens = jnp.full((B,), S, jnp.int32)
+    ref, ref_h, _ = model.apply(params, ids, positions, lens,
+                                method=Phi3ForCausalLM.forward_ids)
+    got, got_h, _ = qmodel.apply(qparams, ids, positions, lens,
+                                 method=Phi3ForCausalLM.forward_ids)
+    # hidden states close in relative terms (int8 weight error ~0.4%)
+    ref_h = np.asarray(ref_h)
+    err = np.abs(np.asarray(got_h) - ref_h).mean() / (np.abs(ref_h).mean()
+                                                      + 1e-8)
+    assert err < 0.05, err
+    # argmax token agreement on most positions
+    agree = (np.asarray(ref.argmax(-1)) == np.asarray(got.argmax(-1))).mean()
+    assert agree > 0.7, agree
+
+    # cached decode runs
+    cache = init_kv_cache(CFG, B, 16, dtype=jnp.float32)
+    lg, _, cache = qmodel.apply(qparams, qmodel.apply(
+        qparams, ids[:, :4], method=Phi3ForCausalLM.embed),
+        positions[:, :4], jnp.full((B,), 4, jnp.int32), cache)
+    assert np.isfinite(np.asarray(lg)).all()

@@ -613,3 +613,30 @@ def merge_lora_state_dict(state_dict: Mapping, lora_state_dict: Mapping,
         delta = (b.float() @ a.float()) * scale
         sd[base_key] = sd[base_key].float() + delta
     return sd
+
+
+def quantize_phi3_params(params: Mapping) -> dict:
+    """f32/bf16 Phi-3 param tree -> weight-only int8 serving tree
+    (kernel int8 + per-channel scale on the stacked projections and the
+    lm_head; embeddings/norms stay float). Consumed by
+    Phi3ForCausalLM(quant_int8=True)."""
+    import jax
+    from ..ops.quant import quantize_int8
+
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy tree
+    layers = out["model"]["layers"]
+    for name in ("qkv_proj", "o_proj", "gate_up_proj", "down_proj"):
+        w = layers[name]["kernel"]                      # [L, in, out]
+        q, s = jax.vmap(quantize_int8)(w)
+        layers[name] = {"kernel": q, "scale": s}
+    q, s = quantize_int8(out["lm_head"]["kernel"])
+    out["lm_head"] = {"kernel": q, "scale": s}
+    return out
+
+
+def quantize_videoglamm_llm(params: Mapping) -> dict:
+    """Composite param tree -> same tree with the LLM in int8 serving form
+    (consumed by VideoGLaMM(quant_llm_int8=True))."""
+    out = dict(params)
+    out["llm"] = quantize_phi3_params(params["llm"])
+    return out

@@ -35,6 +35,23 @@ class RMSNorm(nn.Module):
         return rms_norm(x, w, eps=self.eps)
 
 
+class QDense(nn.Module):
+    """Weight-only int8 linear: params {kernel: int8 [in, out],
+    scale: f32 [out]} consumed by the fused dequant matmul (ops/quant.py).
+    Bias-free (the quantized paths are the LLM's bias-free projections)."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import dequant_matmul
+        k = self.param("kernel", nn.initializers.zeros,
+                       (x.shape[-1], self.features), jnp.int8)
+        s = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        return dequant_matmul(x.astype(self.dtype), k, s)
+
+
 def Dense(features, use_bias=True, dtype=jnp.bfloat16, name=None,
           kernel_init=nn.initializers.lecun_normal()):
     """nn.Dense factory with f32 params + configurable compute dtype.

@@ -24,7 +24,7 @@ import flax.linen as nn
 from ..config import Phi3Config
 from ..ops import dot_product_attention
 from ..ops.rope import apply_rope, rope_cos_sin
-from .common import Dense, RMSNorm
+from .common import Dense, QDense, RMSNorm
 
 
 def init_kv_cache(cfg: Phi3Config, batch: int, max_len: int,
@@ -49,6 +49,14 @@ class Phi3DecoderLayer(nn.Module):
     # inference checkpoints are unchanged.
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    # weight-only int8 serving mode: the four big projections load int8
+    # weights through the fused dequant matmul (ops/quant.py)
+    quant_int8: bool = False
+
+    def _proj(self, features, name):
+        if self.quant_int8:
+            return QDense(features, dtype=self.dtype, name=name)
+        return Dense(features, use_bias=False, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x, positions, cache_k, cache_v, kv_lens,
@@ -66,8 +74,7 @@ class Phi3DecoderLayer(nn.Module):
         nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
         h = RMSNorm(eps=cfg.rms_norm_eps, name="input_layernorm")(x)
-        qkv = Dense((nh + 2 * nkv) * hd, use_bias=False, dtype=self.dtype,
-                    name="qkv_proj")(h)
+        qkv = self._proj((nh + 2 * nkv) * hd, "qkv_proj")(h)
         q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
         if self.lora_rank > 0:
             scale = self.lora_alpha / self.lora_rank
@@ -133,17 +140,14 @@ class Phi3DecoderLayer(nn.Module):
         o = dot_product_attention(q, k_att, v_att, causal=self.causal,
                                   kv_lens=kv_lens, q_start=positions[:, 0])
         o = o.transpose(0, 2, 1, 3).reshape(B, S, nh * hd)
-        o = Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                  name="o_proj")(o)
+        o = self._proj(cfg.hidden_size, "o_proj")(o)
         x = x + o
 
         h = RMSNorm(eps=cfg.rms_norm_eps, name="post_attention_layernorm")(x)
-        gu = Dense(2 * cfg.intermediate_size, use_bias=False, dtype=self.dtype,
-                   name="gate_up_proj")(h)
+        gu = self._proj(2 * cfg.intermediate_size, "gate_up_proj")(h)
         gate, up = jnp.split(gu, 2, axis=-1)
         h = jax.nn.silu(gate) * up
-        h = Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
-                  name="down_proj")(h)
+        h = self._proj(cfg.hidden_size, "down_proj")(h)
         return x + h, cache_k, cache_v
 
 
@@ -156,6 +160,7 @@ class Phi3Model(nn.Module):
     remat: bool = False
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, embeds, positions, kv_lens, cache=None):
@@ -165,7 +170,7 @@ class Phi3Model(nn.Module):
             layer_cls = nn.remat(layer_cls, prevent_cse=False)
         layer = layer_cls(cfg, causal=self.causal, dtype=self.dtype,
                           lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                          name="layers")
+                          quant_int8=self.quant_int8, name="layers")
 
         if cache is not None:
             # the stacked cache rides the CARRY: per-layer updates are tiny
@@ -202,6 +207,7 @@ class Phi3ForCausalLM(nn.Module):
     remat: bool = False
     lora_rank: int = 0
     lora_alpha: float = 16.0
+    quant_int8: bool = False
 
     def setup(self):
         vocab = self.cfg.vocab_size + self.extra_vocab
@@ -210,9 +216,13 @@ class Phi3ForCausalLM(nn.Module):
                                      dtype=self.dtype)
         self.model = Phi3Model(self.cfg, dtype=self.dtype, remat=self.remat,
                                lora_rank=self.lora_rank,
-                               lora_alpha=self.lora_alpha)
-        self.lm_head = nn.Dense(vocab, use_bias=False, dtype=self.dtype,
-                                param_dtype=jnp.float32)
+                               lora_alpha=self.lora_alpha,
+                               quant_int8=self.quant_int8)
+        if self.quant_int8:
+            self.lm_head = QDense(vocab, dtype=self.dtype)
+        else:
+            self.lm_head = nn.Dense(vocab, use_bias=False, dtype=self.dtype,
+                                    param_dtype=jnp.float32)
 
     def embed(self, input_ids):
         """Token embedding; negative placeholder ids (IMAGE_TOKEN_INDEX) are

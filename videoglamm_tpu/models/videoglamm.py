@@ -106,6 +106,7 @@ class VideoGLaMM(nn.Module):
     remat_llm: bool = False
     lora_rank: int = 0          # LoRA on LLM q/v (training); 0 = disabled
     lora_alpha: float = 16.0
+    quant_llm_int8: bool = False  # weight-only int8 LLM serving mode
 
     def setup(self):
         cfg = self.cfg
@@ -118,7 +119,8 @@ class VideoGLaMM(nn.Module):
         self.llm = Phi3ForCausalLM(cfg.llm, extra_vocab=1, dtype=self.dtype,
                                    remat=self.remat_llm,
                                    lora_rank=self.lora_rank,
-                                   lora_alpha=self.lora_alpha)
+                                   lora_alpha=self.lora_alpha,
+                                   quant_int8=self.quant_llm_int8)
         self.text_hidden_fcs = TextHiddenFCs(cfg.out_dim)
         self.sam = SAM2Base(cfg.sam2, dtype=self.dtype)
 

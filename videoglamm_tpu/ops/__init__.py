@@ -5,3 +5,4 @@ from .resize import resize_bicubic, resize_bilinear, resize_nearest
 from .connected_components import (connected_components,
                                    postprocess_mask_scores,
                                    remove_small_objects_device)
+from .quant import dequant_matmul, quantize_int8
