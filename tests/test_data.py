@@ -145,3 +145,31 @@ def test_build_batch():
     # labels padded with IGNORE_INDEX, lens correct
     assert batch["text_lens"][0] == 5
     assert (batch["labels"][0, 5:] == IGNORE_INDEX).all()
+
+
+def test_prefetch_iterator():
+    from videoglamm_tpu.data import PrefetchIterator
+    import time
+
+    def slow_gen():
+        for i in range(5):
+            time.sleep(0.01)
+            yield i
+
+    staged = []
+    it = PrefetchIterator(slow_gen(), prefetch=2,
+                          to_device=lambda x: staged.append(x) or x * 10)
+    out = list(it)
+    assert out == [0, 10, 20, 30, 40]
+    assert staged == [0, 1, 2, 3, 4]
+
+    # errors propagate to the consumer
+    def bad_gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = PrefetchIterator(bad_gen(), prefetch=1)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        list(it)

@@ -131,10 +131,12 @@ def main(argv=None):
         return jax.tree_util.tree_map(
             lambda x, s: jax.device_put(jnp.asarray(x), s), b, batch_sh)
 
-    trainer = Trainer(step, state, gen,
+    from ..data import prefetch_to_device
+    prefetched = prefetch_to_device(gen, to_device, prefetch=2)
+    trainer = Trainer(step, state, prefetched,
                       steps_per_epoch=args.steps_per_epoch,
                       epochs=args.epochs, log_dir=args.log_dir,
-                      ckpt_dir=args.ckpt_dir, to_device=to_device)
+                      ckpt_dir=args.ckpt_dir)
     if args.auto_resume:
         trainer.resume()
     trainer.train()
