@@ -15,7 +15,6 @@ generated token is collected exactly once, cache-priced.
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional
 
 import jax

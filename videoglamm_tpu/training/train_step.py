@@ -19,7 +19,7 @@ better than ZeRO's sharded-but-present states).
 from __future__ import annotations
 
 import re
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
