@@ -123,3 +123,26 @@ def test_lora_merge_matches_peft_math():
         + (B @ A) * (alpha / r)
     assert torch.allclose(
         merged["model.layers.0.self_attn.qkv_proj.weight"], want)
+
+
+def test_convert_checkpoint_cli(tmp_path, monkeypatch):
+    """End-to-end convert CLI on a tiny reference-layout export: torch dir ->
+    orbax params -> loadable tree."""
+    import torch
+    import videoglamm_tpu.cli.convert_checkpoint as mod
+    from videoglamm_tpu.config import VideoGLaMMConfig
+    from videoglamm_tpu.io import load_params
+
+    sd, _ = _build_reference_layout_state_dict(COMP)
+    exp = tmp_path / "hf_export"
+    exp.mkdir()
+    torch.save(sd, exp / "pytorch_model.bin")
+
+    import videoglamm_tpu.config as config_mod
+    monkeypatch.setattr(config_mod.VideoGLaMMConfig, "flagship",
+                        staticmethod(lambda: COMP))
+    out = str(tmp_path / "params")
+    mod.main(["--hf_export", str(exp), "--out", out])
+    restored = load_params(out)
+    assert "llm" in restored and "sam" in restored
+    assert "text_hidden_fcs" in restored
