@@ -136,8 +136,8 @@ def _round_up(x, m):
 
 
 @functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k"))
-def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=128,
-               block_k=128):
+def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=512,
+               block_k=512):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     block_q = min(block_q, _round_up(Sq, 128))
