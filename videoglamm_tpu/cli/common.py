@@ -77,10 +77,13 @@ def load_model(args, cfg: Optional[VideoGLaMMConfig] = None):
 
 
 def prepare_vision_inputs(frames: List[np.ndarray], cfg: VideoGLaMMConfig,
-                          num_sam_frames: Optional[int] = None):
+                          num_sam_frames: Optional[int] = None,
+                          sam_frames: Optional[List[np.ndarray]] = None):
     """Raw RGB frames -> (frames, context_images, frames_sam, orig_hw)
     batched [1, ...] model inputs (reference preprocess_vision,
-    chat.py:402-470)."""
+    chat.py:402-470). `sam_frames` decouples the pixel-decoder frames from
+    the encoder frames (eval propagates masks over ALL frames while the LLM
+    prefix sees NUM_FRAMES sampled ones — reference eval_mevis.py)."""
     import jax.numpy as jnp
     from ..data.preprocess import (preprocess_clip, preprocess_internvideo,
                                    preprocess_sam2, sample_frame_indices)
@@ -88,10 +91,11 @@ def prepare_vision_inputs(frames: List[np.ndarray], cfg: VideoGLaMMConfig,
     orig_hw = frames[0].shape[:2]
     enc = preprocess_internvideo(frames, cfg.internvideo.image_size)
     ctx = preprocess_clip(frames, cfg.clip.image_size)
-    sam_frames = frames
-    if num_sam_frames is not None and num_sam_frames != len(frames):
-        idx = sample_frame_indices(len(frames), num_sam_frames)
-        sam_frames = [frames[i] for i in idx]
+    if sam_frames is None:
+        sam_frames = frames
+        if num_sam_frames is not None and num_sam_frames != len(frames):
+            idx = sample_frame_indices(len(frames), num_sam_frames)
+            sam_frames = [frames[i] for i in idx]
     sam = preprocess_sam2(sam_frames, cfg.sam2.image_size)
     return (jnp.asarray(enc)[None], jnp.asarray(ctx)[None],
             jnp.asarray(sam)[None], orig_hw)

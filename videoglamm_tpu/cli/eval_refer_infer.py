@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--data_root", required=True)
     p.add_argument("--save_dir", required=True)
     p.add_argument("--meta", default="meta_expressions.json")
+    p.add_argument("--max_sam_frames", type=int, default=64,
+                   help="masks are produced for ALL video frames up to this "
+                        "cap (the LLM prefix still sees NUM_FRAMES samples)")
     args = p.parse_args(argv)
 
     from PIL import Image
@@ -59,6 +62,13 @@ def main(argv=None):
         all_frames = load_frame_dir(fdir)
         idx = sample_frame_indices(len(all_frames), NUM_FRAMES)
         frames = [all_frames[i] for i in idx]
+        # pixel-decoder frames: the whole video (capped), not the samples
+        if len(all_frames) > args.max_sam_frames:
+            sam_idx = sample_frame_indices(len(all_frames),
+                                           args.max_sam_frames)
+        else:
+            sam_idx = list(range(len(all_frames)))
+        sam_frames = [all_frames[i] for i in sam_idx]
 
         for eid, einfo in sorted(vinfo["expressions"].items()):
             out_dir = os.path.join(args.save_dir, vid, eid)
@@ -69,8 +79,8 @@ def main(argv=None):
                     REFER_PROMPT.format(exp=einfo["exp"]), media="video")
                 input_ids, lens = tokenize_prompt(prompt, tokenizer,
                                                   args.max_new_tokens)
-                f, c, s, orig_hw = prepare_vision_inputs(frames,
-                                                         pipe.model.cfg)
+                f, c, s, orig_hw = prepare_vision_inputs(
+                    frames, pipe.model.cfg, sam_frames=sam_frames)
                 res = pipe(f, c, s, input_ids, lens,
                            use_video_branch=args.use_sam2_video_branch)
                 masks = masks_to_original_size(
@@ -78,11 +88,10 @@ def main(argv=None):
                 valid = np.asarray(res.seg_valid[0])
                 # first [SEG] answers the referring expression
                 tube = masks[valid][0] if valid.any() else np.zeros(
-                    (len(frames),) + tuple(orig_hw), bool)
+                    (len(sam_frames),) + tuple(orig_hw), bool)
                 os.makedirs(out_dir, exist_ok=True)
-                # map the sampled frames back onto the full frame list
-                for t, fi in enumerate(idx):
-                    name = frame_names[min(fi, len(frame_names) - 1)]
+                for t, fi in enumerate(sam_idx):
+                    name = frame_names[min(int(fi), len(frame_names) - 1)]
                     Image.fromarray((tube[t] * 255).astype(np.uint8)).save(
                         os.path.join(out_dir, f"{name}.png"))
                 print(f"[ok] {vid}/{eid}")
