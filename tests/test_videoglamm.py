@@ -145,3 +145,30 @@ def test_frozen_towers_get_no_grad(model_params_batch):
     # trainable heads get signal
     assert norm_of("text_hidden_fcs") > 0.0
     assert norm_of("sam_mask_decoder") > 0.0
+
+
+def test_composite_with_llama_base():
+    """The alternate Llama-3.1 base wires through the full composite
+    (training forward + cached generation)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from videoglamm_tpu.config import LlamaConfig
+    from videoglamm_tpu.inference.generate import generate_with_prefix
+
+    cfg = dataclasses.replace(CFG, llm_type="llama3_1",
+                              llama=LlamaConfig.tiny())
+    model = VideoGLaMM(cfg, dtype=jnp.float32)
+    batch = make_batch(np.random.RandomState(0))
+    params = model.init(jax.random.PRNGKey(0), **batch)
+    out = model.apply(params, **batch)
+    assert np.isfinite(float(out.loss))
+
+    visual = model.apply(
+        params, batch["frames"], batch["context_images"],
+        method=lambda mdl, a, b: mdl.encode_visual_prefix(a, b))
+    gen = generate_with_prefix(
+        model, params, visual[batch["video_idx"]], batch["input_ids"],
+        batch["text_lens"], max_new_tokens=4, eos_id=3)
+    assert gen.tokens.shape == (2, 4)
+    assert np.isfinite(np.asarray(gen.hidden)).all()

@@ -298,8 +298,14 @@ class SAM1Config:
 # ---------------------------------------------------------------------------
 @dataclass(frozen=True)
 class VideoGLaMMConfig:
-    """Full composite model (reference: model/VideoGLaMM.py:84-903)."""
+    """Full composite model (reference: model/VideoGLaMM.py:84-903).
+
+    llm_type selects the base decoder ("phi3" wired-in default; "llama3_1"
+    the alternate base the reference keeps as plumbing,
+    model/videogpt_plus/model/language_model/llama3_1.py)."""
+    llm_type: str = "phi3"
     llm: Phi3Config = field(default_factory=Phi3Config.phi3_mini_4k)
+    llama: LlamaConfig = field(default_factory=LlamaConfig.llama3_1_8b)
     clip: CLIPVisionConfig = field(default_factory=CLIPVisionConfig.vit_l_336)
     internvideo: InternVideo2Config = field(default_factory=InternVideo2Config.internvideo2_1b)
     sam2: SAM2Config = field(default_factory=SAM2Config.sam2_hiera_l)

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models.multimodal import splice_visual_prefix
+from ..models.llama import init_llama_kv_cache
 from ..models.phi3 import init_kv_cache
 
 
@@ -56,7 +57,8 @@ def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,
     V = visual_prefix.shape[1]
     S_prefill = S_text - 1 + V
     max_len = S_prefill + max_new_tokens + 1
-    cfg = model.cfg.llm
+    llm_type = getattr(model.cfg, "llm_type", "phi3")
+    cfg = model.cfg.llm if llm_type == "phi3" else model.cfg.llama
 
     def llm_apply(method, *args):
         return model.apply(params, *args,
@@ -65,7 +67,9 @@ def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,
     embeds = llm_apply("embed", input_ids)
     sp = splice_visual_prefix(embeds, input_ids, visual_prefix, text_lens)
 
-    cache = init_kv_cache(cfg, B, max_len, dtype=embeds.dtype)
+    make_cache = init_kv_cache if llm_type == "phi3" \
+        else init_llama_kv_cache
+    cache = make_cache(cfg, B, max_len, dtype=embeds.dtype)
     logits, hidden_pre, cache = llm_apply(
         "__call__", sp.embeds, sp.positions, sp.attn_lens, cache)
 

@@ -40,6 +40,7 @@ from ..ops.resize import resize_bilinear
 from .clip_vit import CLIPVisionTower
 from .internvideo2 import InternVideo2Tower
 from .multimodal import SplicedBatch, splice_visual_prefix
+from .llama import LlamaForCausalLM
 from .phi3 import Phi3ForCausalLM
 from .projectors import TextHiddenFCs, VisionProjector, build_visual_prefix
 from .sam2.sam2_base import SAM2Base
@@ -112,15 +113,25 @@ class VideoGLaMM(nn.Module):
         cfg = self.cfg
         self.vision_tower = InternVideo2Tower(cfg.internvideo, dtype=self.dtype)
         self.image_vision_tower = CLIPVisionTower(cfg.clip, dtype=self.dtype)
+        llm_hidden = (cfg.llm.hidden_size if cfg.llm_type == "phi3"
+                      else cfg.llama.hidden_size)
         self.mm_projector = VisionProjector(
-            cfg.mm_projector_type, cfg.llm.hidden_size, dtype=self.dtype)
+            cfg.mm_projector_type, llm_hidden, dtype=self.dtype)
         self.image_mm_projector = VisionProjector(
-            cfg.mm_projector_type, cfg.llm.hidden_size, dtype=self.dtype)
-        self.llm = Phi3ForCausalLM(cfg.llm, extra_vocab=1, dtype=self.dtype,
-                                   remat=self.remat_llm,
-                                   lora_rank=self.lora_rank,
-                                   lora_alpha=self.lora_alpha,
-                                   quant_int8=self.quant_llm_int8)
+            cfg.mm_projector_type, llm_hidden, dtype=self.dtype)
+        if cfg.llm_type == "phi3":
+            self.llm = Phi3ForCausalLM(cfg.llm, extra_vocab=1,
+                                       dtype=self.dtype,
+                                       remat=self.remat_llm,
+                                       lora_rank=self.lora_rank,
+                                       lora_alpha=self.lora_alpha,
+                                       quant_int8=self.quant_llm_int8)
+        elif cfg.llm_type == "llama3_1":
+            self.llm = LlamaForCausalLM(cfg.llama, extra_vocab=1,
+                                        dtype=self.dtype,
+                                        remat=self.remat_llm)
+        else:
+            raise ValueError(cfg.llm_type)
         self.text_hidden_fcs = TextHiddenFCs(cfg.out_dim)
         self.sam = SAM2Base(cfg.sam2, dtype=self.dtype)
 
