@@ -10,3 +10,7 @@ from .grounding_extra import (GCGFromExpressions, GranDfDataset,
                               TemporalGroundingDataset, VidSTGDataset)
 from .refer_seg import ReferSegDataset, decode_segmentation
 from .grounded_video_qa import GroundedVideoQADataset, normalize_seg_answer
+from .sem_seg import (CocoPartSegDataset, load_cocostuff_classes,
+                      load_mapillary_classes)
+from .video_gcg_extra import ANetEntitiesGCGDataset, VidSTGHCSTVGGCGDataset
+from .refer_eval import A2DSentencesDataset, JHMDBSentencesDataset

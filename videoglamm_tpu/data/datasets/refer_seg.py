@@ -6,17 +6,20 @@ utils/refer.py:43): a few referring expressions per image become
 segment-question conversations; masks decode from COCO RLE or polygon
 annotations.
 
-Instead of the pickled REFER database the loader consumes a consolidated
-JSON (easily produced from refs(unc).p + instances.json):
+The loader consumes either
+- the native REFER/G_REFER databases (refs(<splitBy>).p + instances.json)
+  via `ReferSegDataset.from_refer` / `videoglamm_tpu.data.refer_api`, or
+- a consolidated JSON (producible with `refer_api.export_consolidated`):
   [{"image": relpath, "height", "width",
     "refs": [{"sentences": [str, ...],
-              "segmentation": RLE | [[polygon], ...]}]}]
+              "segmentation": RLE | [[polygon], ...]          # single, or
+              "segmentations": [seg, ...]}]}]                 # union
 """
 from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -39,13 +42,38 @@ def decode_segmentation(seg, h: int, w: int) -> np.ndarray:
     return np.asarray(img, bool)
 
 
+def _ref_mask(ref, h: int, w: int) -> np.ndarray:
+    """Decode one consolidated ref: union of 'segmentations' when present
+    (gRefCOCO multi-ann / no-target), else single 'segmentation'."""
+    if "segmentations" in ref:
+        out = np.zeros((h, w), bool)
+        for seg in ref["segmentations"]:
+            out |= decode_segmentation(seg, h, w)
+        return out
+    return decode_segmentation(ref["segmentation"], h, w)
+
+
 class ReferSegDataset:
-    def __init__(self, annotation_json: str, image_root: str,
-                 num_refs_per_sample: int = 3, seed: int = 0):
-        self.anns = json.load(open(annotation_json))
+    def __init__(self, annotation_json=None, image_root: str = "",
+                 num_refs_per_sample: int = 3, seed: int = 0,
+                 records: Optional[List[Dict]] = None):
+        if records is None:
+            records = json.load(open(annotation_json))
+        self.anns = records
         self.image_root = image_root
         self.n_per_sample = num_refs_per_sample
         self.rng = np.random.RandomState(seed)
+
+    @classmethod
+    def from_refer(cls, data_root: str, dataset: str = "refcoco",
+                   split_by: Optional[str] = None, split: str = "train",
+                   **kw) -> "ReferSegDataset":
+        """Build directly from the native REFER/G_REFER database
+        (refs(<splitBy>).p + instances.json under data_root/<dataset>)."""
+        from ..refer_api import export_consolidated, open_refer
+        api = open_refer(data_root, dataset, split_by)
+        return cls(records=export_consolidated(api, split=split),
+                   image_root=data_root, **kw)
 
     def __len__(self):
         return len(self.anns)
@@ -71,6 +99,6 @@ class ReferSegDataset:
             a = self.rng.choice(ANSWER_LIST)
             sources.append([{"from": "human", "value": q},
                             {"from": "gpt", "value": a}])
-            m = decode_segmentation(ref["segmentation"], h, w)
+            m = _ref_mask(ref, h, w)
             masks.append(m.astype(np.float32)[None, None])
         return dict(frames=[img], sources=sources, masks=masks)
