@@ -1,4 +1,5 @@
-"""Trainer runtime: loop + meters + checkpoint/resume; ReasonSeg validator."""
+"""Trainer runtime: loop + meters + checkpoint/resume; ReasonSeg and MeViS
+validators; the per-epoch val_fn hook."""
 import itertools
 import os
 
@@ -61,3 +62,54 @@ def test_validate_reasonseg_math(tmp_path):
                                     ScalarLogger(str(tmp_path)))
     assert giou == pytest.approx(1.0)   # IoU 1 + no-object convention 1
     assert ciou == pytest.approx(1.0)
+
+
+def test_validate_mevis_math_and_dump(tmp_path):
+    from videoglamm_tpu.training.trainer import validate_mevis
+    T, H, W = 3, 8, 8
+    gt = np.zeros((T, H, W), np.int64)
+    gt[:, :4] = 1
+    half = np.zeros((T, H, W), bool)
+    half[:, :2] = True                  # IoU 0.5 on every frame
+
+    def predict(sample):
+        if sample == 0:
+            return gt == 1, gt          # IoU 1
+        return half, gt
+
+    giou, ciou = validate_mevis(predict, [0, 1],
+                                ScalarLogger(str(tmp_path)), epoch=0)
+    assert giou == pytest.approx(0.75, abs=1e-3)
+    # cIoU pools pixels: inter = 32T + 16T, union = 32T + 32T
+    assert ciou == pytest.approx(48 / 64, abs=1e-3)
+
+    # dump mode writes the benchmark PNG layout and returns None
+    samples = [{"video": "vidZ", "exp_id": "0"}]
+    out = validate_mevis(lambda s: (gt == 1, gt), samples,
+                         save_masks_dir=str(tmp_path / "bench"))
+    assert out is None
+    files = sorted(os.listdir(tmp_path / "bench" / "vidZ" / "0"))
+    assert files == [f"{t:05d}.png" for t in range(T)]
+    from PIL import Image
+    arr = np.asarray(Image.open(tmp_path / "bench" / "vidZ" / "0" /
+                                "00000.png"))
+    assert set(np.unique(arr)) <= {0, 255}
+
+
+def test_trainer_val_fn_hook(tmp_path):
+    model = VideoGLaMM(CFG, dtype=jnp.float32)
+    batch = make_batch(np.random.RandomState(0))
+    jb = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init(jax.random.PRNGKey(0), **jb)["params"]
+    tcfg = TrainConfig(warmup_steps=1, total_steps=4)
+    tx = make_optimizer(tcfg, params)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(model, tx))
+
+    calls = []
+    tr = Trainer(step, state, itertools.repeat(jb), steps_per_epoch=1,
+                 epochs=2, log_dir=str(tmp_path / "logs"),
+                 ckpt_dir=str(tmp_path / "ckpts"), log_every=1,
+                 val_fn=lambda s, e, lg: calls.append((int(s.step), e)))
+    tr.train()
+    assert calls == [(1, 0), (2, 1)]

@@ -23,6 +23,45 @@ import argparse
 import numpy as np
 
 
+def make_val_fn(model, builder, max_text_len: int, *, mevis_ds=None,
+                reason_ds=None, n_samples: int = 32):
+    """Per-epoch validator: teacher-forced forward on val samples, compare
+    pred_masks to GT (reference validate_on_mevis / validate_on_reasonseg
+    run the train-style forward, utils/trainer.py:301-476)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..constants import MASK_IGNORE_INDEX
+    from ..data.collate import build_batch
+    from ..training.trainer import validate_mevis, validate_reasonseg
+
+    fwd = jax.jit(lambda p, b: model.apply({"params": p}, **b).pred_masks)
+
+    def tube_predict(params, record):
+        sample = builder(record)
+        batch = build_batch([sample], max_text_len=max_text_len,
+                            mask_hw=builder.mask_hw)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        pred = np.asarray(fwd(params, jb))[0, 0]         # [T, h, w] logits
+        gt = np.asarray(batch["gt_masks"])[0, 0]         # [T, h, w]
+        gt = np.where(gt == MASK_IGNORE_INDEX, 255, gt).astype(np.int64)
+        return pred > 0, gt
+
+    def val_fn(state, epoch, logger):
+        params = state.params
+        if mevis_ds is not None:
+            n = min(n_samples, len(mevis_ds))
+            validate_mevis(lambda i: tube_predict(params, mevis_ds[i]),
+                           range(n), logger, epoch)
+        if reason_ds is not None:
+            def reason_predict(i):
+                pred, gt = tube_predict(params, reason_ds[i])
+                return pred[:1], gt[:1]      # image dataset: frame 0
+            n = min(n_samples, len(reason_ds))
+            validate_reasonseg(reason_predict, range(n), logger, epoch)
+    return val_fn
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     from .common import add_model_args
@@ -47,6 +86,12 @@ def main(argv=None):
     p.add_argument("--ckpt_dir", default="./ckpts")
     p.add_argument("--log_dir", default="./runs")
     p.add_argument("--auto_resume", action="store_true")
+    p.add_argument("--val_mevis_root", default=None,
+                   help="MeViS-layout valid_u root: per-epoch gIoU/cIoU "
+                        "(reference validate_on_mevis)")
+    p.add_argument("--val_reason_seg_root", default=None)
+    p.add_argument("--val_samples", type=int, default=32,
+                   help="videos/images per mid-training validation pass")
     args = p.parse_args(argv)
 
     import jax
@@ -131,12 +176,23 @@ def main(argv=None):
         return jax.tree_util.tree_map(
             lambda x, s: jax.device_put(jnp.asarray(x), s), b, batch_sh)
 
+    val_fn = None
+    if args.val_mevis_root or args.val_reason_seg_root:
+        val_fn = make_val_fn(
+            model, builder, args.max_text_len,
+            mevis_ds=(ReferVOSDataset(args.val_mevis_root)
+                      if args.val_mevis_root else None),
+            reason_ds=(ReasonSegDataset(args.val_reason_seg_root,
+                                        split="val")
+                       if args.val_reason_seg_root else None),
+            n_samples=args.val_samples)
+
     from ..data import prefetch_to_device
     prefetched = prefetch_to_device(gen, to_device, prefetch=2)
     trainer = Trainer(step, state, prefetched,
                       steps_per_epoch=args.steps_per_epoch,
                       epochs=args.epochs, log_dir=args.log_dir,
-                      ckpt_dir=args.ckpt_dir)
+                      ckpt_dir=args.ckpt_dir, val_fn=val_fn)
     if args.auto_resume:
         trainer.resume()
     trainer.train()
