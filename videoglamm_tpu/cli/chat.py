@@ -64,11 +64,12 @@ def main(argv=None):
 
     tokenizer = load_tokenizer(args.tokenizer or args.checkpoint)
     model, params = load_model(args)
-    eos_id = tuple({tokenizer.eos_token_id or 32000, 32000, 32001, 32007})
+    from ..inference.generate import terminators_for
+    eos_id = terminators_for(model.cfg.llm_type, tokenizer)
     pipe = GroundedInference(model, params,
                              max_new_tokens=args.max_new_tokens,
                              eos_id=eos_id)
-    conv_gen = ConvGenerator("phi3")
+    conv_gen = ConvGenerator(model.cfg.llm_type)
 
     is_image = args.media.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))
     if is_image:

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..constants import NUM_FRAMES
 from ..data.conversation import ConvGenerator
+from ..inference.generate import terminators_for
 from ..evals.metrics import masks_to_boxes
 from .common import (add_model_args, load_model, load_tokenizer,
                      masks_to_original_size, prepare_vision_inputs,
@@ -47,9 +48,8 @@ def main(argv=None):
     model, params = load_model(args)
     pipe = GroundedInference(model, params,
                              max_new_tokens=args.max_new_tokens,
-                             eos_id=tuple({tokenizer.eos_token_id or 32000,
-                                           32000, 32001, 32007}))
-    conv_gen = ConvGenerator("phi3")
+                             eos_id=terminators_for(model.cfg.llm_type, tokenizer))
+    conv_gen = ConvGenerator(model.cfg.llm_type)
 
     anns = json.load(open(args.annotations))
     results = []

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..constants import NUM_FRAMES
 from ..data.conversation import ConvGenerator
+from ..inference.generate import terminators_for
 from ..evals.postprocess import clean_caption, extract_phrases, \
     remove_small_blobs
 from .common import (add_model_args, decode_generation, load_model,
@@ -63,9 +64,8 @@ def main(argv=None):
     model, params = load_model(args)
     pipe = GroundedInference(model, params,
                              max_new_tokens=args.max_new_tokens,
-                             eos_id=tuple({tokenizer.eos_token_id or 32000,
-                                           32000, 32001, 32007}))
-    conv_gen = ConvGenerator("phi3")
+                             eos_id=terminators_for(model.cfg.llm_type, tokenizer))
+    conv_gen = ConvGenerator(model.cfg.llm_type)
 
     for vid in list_videos(args.data_root):
         out_dir = os.path.join(args.save_dir, vid)

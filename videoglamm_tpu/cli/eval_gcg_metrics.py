@@ -105,15 +105,21 @@ def main(argv=None):
         "recall": tp / ap if ap else 0.0,
         "n_videos": len(mious),
     }
+    gts = {i: [c] for i, c in enumerate(gt_caps)}
+    rs = {i: [c] for i, c in enumerate(pred_caps)}
     try:
+        # exact parity with the reference when pycocoevalcap is present
         from pycocoevalcap.meteor.meteor import Meteor
         from pycocoevalcap.cider.cider import Cider
-        gts = {i: [c] for i, c in enumerate(gt_caps)}
-        rs = {i: [c] for i, c in enumerate(pred_caps)}
         out["meteor"] = Meteor().compute_score(gts, rs)[0]
         out["cider"] = Cider().compute_score(gts, rs)[0]
     except ImportError:
-        out["caption_metrics"] = "skipped (pycocoevalcap not installed)"
+        # self-contained implementations of the published algorithms
+        from ..evals.caption_metrics import cider_d, meteor
+        if gt_caps:
+            out["meteor"] = meteor(gts, rs)[0]
+            out["cider"] = cider_d(gts, rs)[0]
+            out["caption_metrics"] = "vendored (pycocoevalcap absent)"
     print(json.dumps(out, indent=2))
     return out
 

@@ -23,6 +23,7 @@ import numpy as np
 
 from ..constants import NUM_FRAMES
 from ..data.conversation import ConvGenerator
+from ..inference.generate import terminators_for
 from .common import (add_model_args, decode_generation, load_model,
                      load_tokenizer, masks_to_original_size,
                      prepare_vision_inputs, tokenize_prompt)
@@ -50,9 +51,8 @@ def main(argv=None):
     model, params = load_model(args)
     pipe = GroundedInference(model, params,
                              max_new_tokens=args.max_new_tokens,
-                             eos_id=tuple({tokenizer.eos_token_id or 32000,
-                                           32000, 32001, 32007}))
-    conv_gen = ConvGenerator("phi3")
+                             eos_id=terminators_for(model.cfg.llm_type, tokenizer))
+    conv_gen = ConvGenerator(model.cfg.llm_type)
 
     meta = json.load(open(os.path.join(args.data_root, args.meta)))["videos"]
     for vid, vinfo in sorted(meta.items()):
@@ -90,8 +90,12 @@ def main(argv=None):
                 tube = masks[valid][0] if valid.any() else np.zeros(
                     (len(sam_frames),) + tuple(orig_hw), bool)
                 os.makedirs(out_dir, exist_ok=True)
-                for t, fi in enumerate(sam_idx):
-                    name = frame_names[min(int(fi), len(frame_names) - 1)]
+                # one PNG per listed frame (official MeViS/YTVOS/DAVIS
+                # protocol): frames beyond the compute cap reuse the
+                # nearest computed mask
+                sam_arr = np.asarray(sam_idx)
+                for fi, name in enumerate(frame_names):
+                    t = int(np.abs(sam_arr - fi).argmin())
                     Image.fromarray((tube[t] * 255).astype(np.uint8)).save(
                         os.path.join(out_dir, f"{name}.png"))
                 print(f"[ok] {vid}/{eid}")

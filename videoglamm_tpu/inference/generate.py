@@ -31,9 +31,30 @@ class GenerateResult(NamedTuple):
                               # generated token as it was FED BACK (position j
                               # hidden — matches the reference's full-sequence
                               # recompute semantics)
-    lengths: jnp.ndarray      # [B] number of tokens up to and incl. EOS
+    lengths: jnp.ndarray      # [B] number of generated tokens BEFORE the
+                              # stop token; the stop token itself is
+                              # stripped (replaced by pad_id), as are all
+                              # slots after it
     prefill_hidden: jnp.ndarray  # [B, S_prefill, D]
     prefill_len: jnp.ndarray  # [B] spliced prompt lengths
+
+
+# Per-LLM stop tokens (reference chat templates): Phi-3 instruct stops at
+# <|endoftext|>=32000, <|assistant|>=32001, <|end|>=32007; Llama-3.1 at
+# <|end_of_text|>=128001, <|eot_id|>=128009.
+TERMINATORS = {
+    "phi3": (32000, 32001, 32007),
+    "llama3_1": (128001, 128009),
+}
+
+
+def terminators_for(llm_type: str, tokenizer=None) -> tuple:
+    """Stop-token ids for the configured base LLM, optionally unioned with
+    the tokenizer's eos_token_id."""
+    ids = set(TERMINATORS.get(llm_type, TERMINATORS["phi3"]))
+    if tokenizer is not None and getattr(tokenizer, "eos_token_id", None):
+        ids.add(int(tokenizer.eos_token_id))
+    return tuple(sorted(ids))
 
 
 def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,

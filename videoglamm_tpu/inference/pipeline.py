@@ -57,7 +57,10 @@ class GroundedInference:
     """Jitted end-to-end grounded video chat / eval pipeline (framewise)."""
 
     def __init__(self, model, params, *, max_new_tokens: int = 128,
-                 eos_id=(32000, 32001, 32007), temperature: float = 0.0):
+                 eos_id=None, temperature: float = 0.0):
+        if eos_id is None:
+            from .generate import terminators_for
+            eos_id = terminators_for(getattr(model.cfg, "llm_type", "phi3"))
         self.model = model
         self.params = params
         self.max_new_tokens = max_new_tokens

@@ -3,7 +3,6 @@ from .partitioning import (
     param_partition_spec,
     shard_params,
     with_sharding,
-    zero_partition_spec,
 )
 from .distributed import (global_device_mesh, initialize_distributed,
                           is_main_process)

@@ -55,21 +55,6 @@ def param_partition_spec(params) -> Any:
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
-def zero_partition_spec(params) -> Any:
-    """ZeRO-style spec for optimizer state: shard the largest dim over `data`
-    when cleanly divisible, else replicate. Applied on top of the TP spec's
-    unsharded dims is overkill for v5e-8 scale; pure data-axis sharding of
-    optimizer moments matches the reference's ZeRO-2 memory behavior."""
-    def spec(leaf):
-        shape = np.shape(leaf)
-        if not shape:
-            return P()
-        # shard dim 0 over data when divisible by any plausible data size;
-        # the actual divisibility check happens at shard time.
-        return P(DATA_AXIS, *([None] * (len(shape) - 1)))
-    return jax.tree_util.tree_map(spec, params)
-
-
 def _divisible(shape, spec, mesh: Mesh) -> bool:
     for dim, axis in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
         if axis is None:

@@ -106,13 +106,24 @@ def make_train_step(model, tx, grad_accum: int = 1):
 
     def train_step(state: TrainState, batch):
         if grad_accum > 1:
+            # accumulate TRAINABLE leaves only: frozen leaves carry a
+            # scalar zero through the scan, so the accumulator costs HBM
+            # for the ~0.1B trainable params instead of the full tree
+            # (frozen-grad math is DCE'd since the zeros are never read)
+            mask = trainable_mask(state.params)
+
             def micro(acc, mb):
                 (_, metrics), g = grad_fn(state.params, mb)
-                acc = jax.tree_util.tree_map(lambda a, b: a + b, acc, g)
+                acc = jax.tree_util.tree_map(
+                    lambda m, a, b: a + b if m else a, mask, acc, g)
                 return acc, metrics
-            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+            zero = jax.tree_util.tree_map(
+                lambda m, p: jnp.zeros_like(p) if m
+                else jnp.zeros((), p.dtype), mask, state.params)
             grads, metrics = jax.lax.scan(micro, zero, batch)
-            grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
+            grads = jax.tree_util.tree_map(
+                lambda m, g: g / grad_accum if m else g, mask, grads)
             metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
         else:
             (_, metrics), grads = grad_fn(state.params, batch)
