@@ -99,7 +99,9 @@ class InternVideo2Block(nn.Module):
 
         h = RMSNorm(eps=cfg.rms_eps, name="norm2")(x)
         h = Dense(int(D * cfg.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        # tanh-approx GELU: the deployed reference runs flash-attn FusedMLP
+        # (gelu_approx), not torch.nn.GELU (internvideo2.py:286-287)
+        h = nn.gelu(h, approximate=True)
         h = Dense(D, dtype=self.dtype, name="mlp_fc2")(h)
         ls2 = self.param("ls2_gamma", nn.initializers.constant(cfg.init_values),
                          (D,), jnp.float32)
