@@ -26,7 +26,10 @@ import time
 import numpy as np
 
 A100_BASELINE_FPS = 1.2
-INT8 = os.environ.get("BENCH_INT8") == "1"   # weight-only int8 LLM serving
+# weight-only int8 LLM serving is the DEFAULT (gated by the int8-vs-float
+# generation/mask parity test, tests/test_int8_parity.py); BENCH_INT8=0
+# benches the bf16 LLM instead
+INT8 = os.environ.get("BENCH_INT8", "1") == "1"
 
 NUM_FRAMES = 16
 T_SAM = 8

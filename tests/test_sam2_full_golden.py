@@ -73,7 +73,7 @@ def test_full_video_tracking_golden(models):
 
     def fn(mdl):
         feats, pos = mdl.forward_image(jnp.asarray(frames))
-        feats = [jnp.broadcast_to(f[None], (n_obj,) + f.shape) for f in feats]
+        # feats stay [T, h, w, c] — track_video shares them across objects
         return track_video(mdl, feats, pos, jnp.asarray(text)[:, None])
 
     res = model.apply(params, method=fn)

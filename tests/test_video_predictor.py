@@ -93,7 +93,7 @@ def test_track_video_shapes(sam_and_params):
 
     def fn(mdl):
         feats, pos = mdl.forward_image(imgs)
-        feats = [jnp.broadcast_to(f[None], (B,) + f.shape) for f in feats]
+        # feats stay [T, h, w, c]; track_video broadcasts per object
         text = jnp.asarray(rng.randn(B, 1, cfg.d_model), jnp.float32)
         return track_video(mdl, feats, pos, text)
 

@@ -176,24 +176,32 @@ def track_step(sam: SAM2Base, feats_t, pos_top, bank: MemoryBank, t,
 def track_video(sam: SAM2Base, feats, pos, text_embeds) -> TrackResult:
     """Full video propagation as one scan.
 
-    feats: 3 levels [B, T, h, w, c] from SAM2Base.forward_image (batched over
-    frames); pos: per-level [h, w, c]; text_embeds: [B, N, C] — one [SEG]
-    prompt per tracked object (B = num objects).
+    feats: 3 levels [T, h, w, c] from SAM2Base.forward_image over the video's
+    frames — carried ONCE, not per object (the reference shares image
+    features across its per-object loop, VideoGLaMM.py:834-877; the
+    per-object broadcast happens inside the scan body where XLA fuses it,
+    so HBM holds one copy of the pyramid instead of num_objects copies);
+    pos: per-level [h, w, c]; text_embeds: [B, N, C] — one [SEG] prompt per
+    tracked object (B = num objects).
 
     Returns per-frame low-res mask logits [B, T, 4E, 4E]."""
-    T = feats[0].shape[1]
-    heads0, bank = track_init_frame(sam, _frame_feats(feats, 0), pos[-1],
-                                    text_embeds)
+    T = feats[0].shape[0]
+    B = text_embeds.shape[0]
 
-    # lax.scan over frames 1..T-1; frame features are scanned-over inputs
-    xs = (
-        [jnp.moveaxis(f[:, 1:], 1, 0) for f in feats],  # per-level [T-1,B,...]
-        jnp.arange(1, T),
-    )
+    def per_obj(level_t):
+        return jnp.broadcast_to(level_t[None], (B,) + level_t.shape)
+
+    heads0, bank = track_init_frame(
+        sam, [per_obj(f[0]) for f in feats], pos[-1], text_embeds)
+
+    # lax.scan over frames 1..T-1; the SHARED frame features are the
+    # scanned-over inputs
+    xs = ([f[1:] for f in feats], jnp.arange(1, T))
 
     def body(bank, x):
         fts, t = x
-        heads, bank = track_step(sam, fts, pos[-1], bank, t, T)
+        heads, bank = track_step(sam, [per_obj(f) for f in fts], pos[-1],
+                                 bank, t, T)
         return bank, (heads.low_res_masks[:, 0], heads.ious.max(-1),
                       heads.object_score_logits[:, 0])
 

@@ -270,8 +270,8 @@ class VideoGLaMM(nn.Module):
         Returns low-res mask logits [ms, T, 4E, 4E]."""
         from .sam2.video_predictor import track_video
         feats, pos = self.sam_image_features_chunked(frames_sam)  # [T, ...]
-        ms = seg_embeds.shape[0]
-        feats = [jnp.broadcast_to(f[None], (ms,) + f.shape) for f in feats]
+        # features are shared across objects (track_video broadcasts
+        # per-object inside its scan — one HBM copy of the pyramid)
         res = track_video(self.sam, feats, pos, seg_embeds[:, None, :])
         return res.low_res_masks
 
