@@ -64,15 +64,15 @@ def test_flash_kernel_interpret_matches_xla():
     from jax.experimental.pallas import tpu as pltpu
     q_start = kv_lens - q.shape[2]
     with pltpu.force_tpu_interpret_mode():
-        out = _flash_fwd(q, k, v, kv_lens, q_start, causal=True,
-                         sm_scale=0.125)
+        out, _ = _flash_fwd(q, k, v, kv_lens, q_start, causal=True,
+                            sm_scale=0.125)
     ref = _attention_xla(q, k, v, causal=True, sm_scale=0.125,
                          kv_lens=kv_lens, bias=None)
     # also: prefill alignment (queries start at 0 over a padded buffer)
     q_start0 = jnp.zeros((1,), jnp.int32)
     with pltpu.force_tpu_interpret_mode():
-        out0 = _flash_fwd(q, k, v, kv_lens, q_start0, causal=True,
-                          sm_scale=0.125)
+        out0, _ = _flash_fwd(q, k, v, kv_lens, q_start0, causal=True,
+                             sm_scale=0.125)
     ref0 = _attention_xla(q, k, v, causal=True, sm_scale=0.125,
                           kv_lens=kv_lens, bias=None, q_start=q_start0)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(ref0),
@@ -208,3 +208,40 @@ def test_hole_filling_device():
                                              max_hole_area=4))
     assert out[0, 5, 5] > 0                          # hole filled
     assert out[0, 0, 0] < 0                          # big region untouched
+
+
+def test_flash_backward_interpret_matches_xla():
+    """Pallas dq/dk/dv (interpret mode) vs jax.vjp through the XLA path,
+    causal + kv_lens + prefill q_start, non-128-multiple shapes."""
+    from jax.experimental.pallas import tpu as pltpu
+    from videoglamm_tpu.ops.attention import flash_attention
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(2, 2, 200, 64), jnp.float32)
+    k = jnp.asarray(rng.randn(2, 2, 320, 64), jnp.float32)
+    v = jnp.asarray(rng.randn(2, 2, 320, 64), jnp.float32)
+    kv_lens = jnp.array([320, 260], jnp.int32)
+    g = jnp.asarray(rng.randn(2, 2, 200, 64), jnp.float32)
+
+    for causal, q_start in ((True, jnp.zeros((2,), jnp.int32)),
+                            (True, None), (False, None)):
+        def loss_flash(q_, k_, v_):
+            with pltpu.force_tpu_interpret_mode():
+                out = flash_attention(q_, k_, v_, causal=causal,
+                                      kv_lens=kv_lens, q_start=q_start,
+                                      sm_scale=0.125)
+            return (out * g).sum()
+
+        def loss_xla(q_, k_, v_):
+            qs = q_start if q_start is not None else kv_lens - q_.shape[2]
+            out = _attention_xla(q_, k_, v_, causal=causal, sm_scale=0.125,
+                                 kv_lens=kv_lens, bias=None, q_start=qs)
+            return (out * g).sum()
+
+        with pltpu.force_tpu_interpret_mode():
+            dq, dk, dv = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        dq_r, dk_r, dv_r = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for got, want, name in ((dq, dq_r, "dq"), (dk, dk_r, "dk"),
+                                (dv, dv_r, "dv")):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4,
+                err_msg=f"{name} causal={causal} q_start={q_start}")

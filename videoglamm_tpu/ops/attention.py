@@ -71,7 +71,8 @@ def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
 # ---------------------------------------------------------------------------
 # Pallas flash attention (forward)
 # ---------------------------------------------------------------------------
-def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                  acc_ref, m_ref, l_ref,
                   *, causal: bool, sm_scale: float, block_q: int, block_k: int,
                   sq: int):
     j = pl.program_id(2)
@@ -127,8 +128,12 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
     @pl.when(j == nk - 1)
     def _finalize():
         l = l_ref[:, 0:1]
-        l = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        # logsumexp rows for the backward (lane-broadcast layout keeps every
+        # read/write column-oriented — no 1D relayouts)
+        lse = jnp.where(l == 0.0, NEG_INF, m_ref[:, 0:1] + jnp.log(safe_l))
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _round_up(x, m):
@@ -164,7 +169,7 @@ def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=512,
         _flash_kernel, causal=causal, sm_scale=sm_scale,
         block_q=block_q, block_k=block_k, sq=Sq)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -174,41 +179,235 @@ def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=512,
                 pl.BlockSpec((1, block_k, Dp), lambda b, i, j, kvl: (b, j, 0)),
                 pl.BlockSpec((1, block_k, Dp), lambda b, i, j, kvl: (b, j, 0)),
             ],
-            out_specs=pl.BlockSpec((1, block_q, Dp), lambda b, i, j, kvl: (b, i, 0)),
+            out_specs=[
+                pl.BlockSpec((1, block_q, Dp),
+                             lambda b, i, j, kvl: (b, i, 0)),
+                pl.BlockSpec((1, block_q, 128),
+                             lambda b, i, j, kvl: (b, i, 0)),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, Dp), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
                 pltpu.VMEM((block_q, 128), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Sqp, 128), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(scalars, qp, kp, vp)
 
-    return out.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D]
+    return out.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D], lse[:, :, :1]
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (backward)
+# ---------------------------------------------------------------------------
+def _bwd_common(q, k, do, v, lse, delta, k_start, q_global, kv_len, causal,
+                sm_scale, block_q, block_k):
+    """Shared tile math: returns (p, ds) for one (q-block, k-block) pair.
+    q_global: absolute row index of the block's first query."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    col = k_start + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+    mask = col < kv_len
+    if causal:
+        row = q_global + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 0)
+        mask = jnp.logical_and(mask, row >= col)
+    p = jnp.where(mask, jnp.exp(s - lse), 0.0)            # [bq, bk]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta) * sm_scale
+    return p, ds
+
+
+def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, acc_ref,
+                         *, causal: bool, sm_scale: float, block_q: int,
+                         block_k: int):
+    i, j = pl.program_id(1), pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    q_offset = kvlen_ref[pl.program_id(0), 1]
+    q_start, k_start = i * block_q, j * block_k
+    causal_live = True if not causal else (
+        q_start + q_offset + block_q - 1 >= k_start)
+
+    @pl.when(jnp.logical_and(causal_live, k_start < kv_len))
+    def _compute():
+        _, ds = _bwd_common(
+            q_ref[0].astype(jnp.float32), k_ref[0].astype(jnp.float32),
+            do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
+            lse_ref[0][:, 0:1], delta_ref[0][:, 0:1],
+            k_start, q_start + q_offset, kv_len, causal, sm_scale,
+            block_q, block_k)
+        acc_ref[:] += jax.lax.dot_general(
+            ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        dq_ref[0] = acc_ref[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                          *, causal: bool, sm_scale: float, block_q: int,
+                          block_k: int):
+    j, i = pl.program_id(1), pl.program_id(2)   # note: k blocks outer
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    kv_len = kvlen_ref[pl.program_id(0), 0]
+    q_offset = kvlen_ref[pl.program_id(0), 1]
+    q_start, k_start = i * block_q, j * block_k
+    causal_live = True if not causal else (
+        q_start + q_offset + block_q - 1 >= k_start)
+
+    @pl.when(jnp.logical_and(causal_live, k_start < kv_len))
+    def _compute():
+        q = q_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        p, ds = _bwd_common(
+            q, k_ref[0].astype(jnp.float32), do,
+            v_ref[0].astype(jnp.float32),
+            lse_ref[0][:, 0:1], delta_ref[0][:, 0:1],
+            k_start, q_start + q_offset, kv_len, causal, sm_scale,
+            block_q, block_k)
+        # contract over the query dim (dim 0 of both) — no transposes
+        dv_acc[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q",
+                                             "block_k"))
+def _flash_bwd(q, k, v, kv_lens, q_start, out, lse, g, *, causal, sm_scale,
+               block_q=512, block_k=512):
+    """Blockwise recompute-style backward: dq over (q-block x k-block) with
+    the k loop innermost; dk/dv with the q loop innermost. O(S) memory —
+    logits are never materialized (reference capability:
+    model/llava/.../flash_attn_triton.py fwd+bwd)."""
+    B, H, Sq, D = q.shape
+    Sk = k.shape[2]
+    block_q = min(block_q, _round_up(Sq, 128))
+    block_k = min(block_k, _round_up(Sk, 128))
+    Dp = _round_up(D, 128)
+    Sqp = _round_up(Sq, block_q)
+    Skp = _round_up(Sk, block_k)
+
+    # delta = rowsum(dO * O) (f32), lane-broadcast like lse
+    delta = jnp.einsum("bhqd,bhqd->bhq", g.astype(jnp.float32),
+                       out.astype(jnp.float32))
+    delta = jnp.pad(delta.reshape(B * H, Sq), ((0, 0), (0, Sqp - Sq)))
+    delta = jnp.broadcast_to(delta[..., None], (B * H, Sqp, 128))
+    lse_p = jnp.pad(lse, ((0, 0), (0, Sqp - lse.shape[1]), (0, 127)))
+    lse_p = jnp.broadcast_to(lse_p[:, :, :1], (B * H, Sqp, 128))
+
+    def pad3(x, S, Sp):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Sp - S), (0, Dp - D))
+                       ).reshape(B * H, Sp, Dp)
+
+    qp, dop = pad3(q, Sq, Sqp), pad3(g, Sq, Sqp)
+    kp, vp = pad3(k, Sk, Skp), pad3(v, Sk, Skp)
+
+    scalars = jnp.stack([
+        jnp.repeat(kv_lens.astype(jnp.int32), H),
+        jnp.repeat(q_start.astype(jnp.int32), H),
+    ], axis=1)
+
+    nq, nk = Sqp // block_q, Skp // block_k
+
+    q_spec = pl.BlockSpec((1, block_q, Dp), lambda b, i, j, kvl: (b, i, 0))
+    row_spec = pl.BlockSpec((1, block_q, 128), lambda b, i, j, kvl: (b, i, 0))
+    k_spec = pl.BlockSpec((1, block_k, Dp), lambda b, i, j, kvl: (b, j, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, causal=causal,
+                          sm_scale=sm_scale, block_q=block_q,
+                          block_k=block_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H, nq, nk),
+            in_specs=[q_spec, k_spec, k_spec, q_spec, row_spec, row_spec],
+            out_specs=q_spec,
+            scratch_shapes=[pltpu.VMEM((block_q, Dp), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(scalars, qp, kp, vp, dop, lse_p, delta)
+
+    # dk/dv: k blocks in the middle (parallel), q blocks innermost
+    q_spec_t = pl.BlockSpec((1, block_q, Dp), lambda b, j, i, kvl: (b, i, 0))
+    row_spec_t = pl.BlockSpec((1, block_q, 128),
+                              lambda b, j, i, kvl: (b, i, 0))
+    k_spec_t = pl.BlockSpec((1, block_k, Dp), lambda b, j, i, kvl: (b, j, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, causal=causal,
+                          sm_scale=sm_scale, block_q=block_q,
+                          block_k=block_k),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B * H, nk, nq),
+            in_specs=[q_spec_t, k_spec_t, k_spec_t, q_spec_t, row_spec_t,
+                      row_spec_t],
+            out_specs=[k_spec_t, k_spec_t],
+            scratch_shapes=[pltpu.VMEM((block_k, Dp), jnp.float32),
+                            pltpu.VMEM((block_k, Dp), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B * H, Skp, Dp), k.dtype),
+                   jax.ShapeDtypeStruct((B * H, Skp, Dp), v.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(scalars, qp, kp, vp, dop, lse_p, delta)
+
+    dq = dq.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D]
+    dk = dk.reshape(B, H, Skp, Dp)[:, :, :Sk, :D]
+    dv = dv.reshape(B, H, Skp, Dp)[:, :, :Sk, :D]
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _flash_attention_custom(q, k, v, kv_lens, q_start, causal, sm_scale):
-    return _flash_fwd(q, k, v, kv_lens, q_start, causal=causal,
-                      sm_scale=sm_scale)
+    out, _ = _flash_fwd(q, k, v, kv_lens, q_start, causal=causal,
+                        sm_scale=sm_scale)
+    return out
 
 
 def _flash_attention_fwd_rule(q, k, v, kv_lens, q_start, causal, sm_scale):
-    out = _flash_fwd(q, k, v, kv_lens, q_start, causal=causal,
-                     sm_scale=sm_scale)
-    return out, (q, k, v, kv_lens, q_start)
+    out, lse = _flash_fwd(q, k, v, kv_lens, q_start, causal=causal,
+                          sm_scale=sm_scale)
+    return out, (q, k, v, kv_lens, q_start, out, lse)
 
 
 def _flash_attention_bwd_rule(causal, sm_scale, res, g):
     import numpy as np
-    q, k, v, kv_lens, q_start = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: _attention_xla(q_, k_, v_, causal=causal,
-                                          sm_scale=sm_scale, kv_lens=kv_lens,
-                                          bias=None, q_start=q_start), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, kv_lens, q_start, out, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, kv_lens, q_start, out, lse, g,
+                            causal=causal, sm_scale=sm_scale)
     dlens = np.zeros(kv_lens.shape, dtype=jax.dtypes.float0)
     return dq, dk, dv, dlens, dlens.copy()
 
