@@ -111,17 +111,7 @@ def tokenize_prompt(prompt: str, tokenizer, max_len: int = 512):
     return jnp.asarray(out), jnp.asarray([n], np.int32)
 
 
-def masks_to_original_size(low_res_logits: np.ndarray, orig_hw,
-                           threshold: float = 0.0) -> np.ndarray:
-    """[..., h, w] logits -> [..., H, W] boolean at the original resolution
-    (reference postprocess_masks: bilinear to orig size then threshold)."""
-    import jax.numpy as jnp
-    from ..ops.resize import resize_bilinear
-    x = jnp.asarray(low_res_logits)[..., None]
-    y = resize_bilinear(x.reshape((-1,) + x.shape[-3:]), tuple(orig_hw))
-    y = np.asarray(y)[..., 0].reshape(low_res_logits.shape[:-2]
-                                      + tuple(orig_hw))
-    return y > threshold
+from ..evals.postprocess import masks_to_original_size  # noqa: F401
 
 
 def decode_generation(tokens: np.ndarray, tokenizer) -> str:

@@ -67,3 +67,17 @@ def seg2bmap(seg: np.ndarray) -> np.ndarray:
     b[:, -1] = seg[:, -1] ^ s[:, -1]
     b[-1, -1] = False
     return b
+
+
+def masks_to_original_size(low_res_logits, orig_hw,
+                           threshold: float = 0.0):
+    """[..., h, w] logits -> [..., H, W] boolean at the original resolution
+    (reference postprocess_masks: bilinear to orig size then threshold)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ..ops.resize import resize_bilinear
+    x = jnp.asarray(low_res_logits)[..., None]
+    y = resize_bilinear(x.reshape((-1,) + x.shape[-3:]), tuple(orig_hw))
+    y = np.asarray(y)[..., 0].reshape(low_res_logits.shape[:-2]
+                                      + tuple(orig_hw))
+    return y > threshold
