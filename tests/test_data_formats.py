@@ -377,3 +377,38 @@ def test_new_formats_in_hybrid_mixture(refer_root, paco_root, anet_root,
         sample = hybrid[i]
         assert sample["frames"].shape[0] == CFG.num_frames
         assert sample["conversations"]
+
+
+def test_val_gcg_union(tmp_path, vidstg_root):
+    """ValGCGDataset equivalent: '||'-joined GCG val splits concatenate;
+    missing components are skipped."""
+    import shutil
+    from videoglamm_tpu.data.datasets import ConcatDataset, build_val_gcg
+    from videoglamm_tpu.data.rle import rle_encode
+    base = tmp_path / "videos"
+    rng = np.random.RandomState(11)
+    # video_gcg test split
+    h, w = 12, 16
+    _save_img(str(base / "video_gcg" / "frames" / "v0" / "0.jpg"),
+              rng.randint(0, 255, (h, w, 3), np.uint8))
+    m = np.zeros((h, w), bool)
+    m[:6] = True
+    inst = {"videos": [{"file_names": ["v0/0.jpg"], "width": w, "height": h,
+                        "length": 1,
+                        "dense_cap": {"caption": "a cat naps",
+                                      "token_pos": [1], "mask_id": [1],
+                                      "v_id2o_id": {}}}],
+            "annotations": [{"id": 1, "segmentations": [rle_encode(m)]}]}
+    json.dump(inst, open(base / "video_gcg" / "test.json", "w"))
+    # vidstg_gcg val split: reuse the train fixture dirs as val
+    src = vidstg_root / "vidstg_gcg"
+    shutil.copytree(src / "train", base / "vidstg_gcg" / "val")
+    shutil.copytree(src / "train_captions",
+                    base / "vidstg_gcg" / "val_captions")
+
+    ds = build_val_gcg(str(base))      # mevis missing -> skipped
+    assert isinstance(ds, ConcatDataset)
+    assert len(ds) == 2
+    rec0, rec1 = ds[0], ds[1]
+    assert rec0["sources"][0][1]["value"].count("[SEG]") == 1
+    assert rec1["sources"][0][1]["value"].count("[SEG]") == 2

@@ -12,5 +12,6 @@ from .refer_seg import ReferSegDataset, decode_segmentation
 from .grounded_video_qa import GroundedVideoQADataset, normalize_seg_answer
 from .sem_seg import (CocoPartSegDataset, load_cocostuff_classes,
                       load_mapillary_classes)
-from .video_gcg_extra import ANetEntitiesGCGDataset, VidSTGHCSTVGGCGDataset
+from .video_gcg_extra import (ANetEntitiesGCGDataset, ConcatDataset,
+                              VidSTGHCSTVGGCGDataset, build_val_gcg)
 from .refer_eval import A2DSentencesDataset, JHMDBSentencesDataset

@@ -142,3 +142,58 @@ class VidSTGHCSTVGGCGDataset:
 
         return dict(frames=frames, sources=_gcg_sources(tagged, self.rng),
                     masks=[masks])
+
+
+class ConcatDataset:
+    """Sequential concatenation of record datasets (reference uses
+    torch.utils.data.ConcatDataset inside ValGCGDataset,
+    utils/dataset.py:456-488)."""
+
+    def __init__(self, datasets):
+        self.datasets = [d for d in datasets if len(d)]
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx):
+        k = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return self.datasets[k][idx - int(self._offsets[k])]
+
+
+def build_val_gcg(base_video_dir: str,
+                  val_datasets: str = "video_gcg||mevis_gcg||vidstg_gcg"
+                  ) -> ConcatDataset:
+    """GCG validation union (reference ValGCGDataset,
+    utils/dataset.py:456-488): the '||'-joined splits concatenate into one
+    eval set. Layouts under base_video_dir:
+      video_gcg:  video_gcg/test.json + video_gcg/frames/
+      mevis_gcg:  mevis/valid_u/ (meta_expressions.json + JPEGImages +
+                  mask_dict.json), expression-stitched GCG
+      vidstg_gcg: vidstg_gcg/val{,_captions}/ per-video dirs
+    Missing component dirs are skipped with a notice."""
+    from .grounding_extra import GCGFromExpressions
+    from .refer_vos import ReferVOSDataset
+    from .video_gcg import GCGVideoDataset
+
+    parts = []
+    for name in val_datasets.split("||"):
+        try:
+            if name == "video_gcg":
+                parts.append(GCGVideoDataset(
+                    os.path.join(base_video_dir, "video_gcg", "test.json"),
+                    os.path.join(base_video_dir, "video_gcg", "frames"),
+                    image_set="test"))
+            elif name == "mevis_gcg":
+                parts.append(GCGFromExpressions(ReferVOSDataset(
+                    os.path.join(base_video_dir, "mevis", "valid_u"),
+                    image_set="valid_u")))
+            elif name == "vidstg_gcg":
+                parts.append(VidSTGHCSTVGGCGDataset(
+                    base_video_dir, image_set="val",
+                    source_dataset="vidstg"))
+            else:
+                raise ValueError(f"unknown val GCG dataset: {name}")
+        except (FileNotFoundError, NotADirectoryError) as e:
+            print(f"[val_gcg] skipping {name}: {e}")
+    return ConcatDataset(parts)
