@@ -98,8 +98,11 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(jnp.logical_and(causal_live, len_live))
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
+        # operands stay in their storage dtype: bf16 into the MXU with f32
+        # accumulation is ~8x the f32-operand throughput (and matches the
+        # XLA path's preferred_element_type semantics)
+        q = q_ref[0]
+        k = k_ref[0]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
 
@@ -118,8 +121,9 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_ref[:, 0:1] + jnp.sum(p, axis=1, keepdims=True)
 
-        v = v_ref[0].astype(jnp.float32)
-        pv = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+        v = v_ref[0]
+        pv = jax.lax.dot_general(p.astype(v.dtype), v,
+                                 (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
@@ -207,7 +211,8 @@ def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=512,
 # ---------------------------------------------------------------------------
 def _bwd_common(q, k, do, v, lse, delta, k_start, q_global, kv_len, causal,
                 sm_scale, block_q, block_k):
-    """Shared tile math: returns (p, ds) for one (q-block, k-block) pair.
+    """Shared tile math: returns (p, ds) f32 for one (q-block, k-block)
+    pair. Operands stay in storage dtype (bf16 MXU, f32 accumulation).
     q_global: absolute row index of the block's first query."""
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * sm_scale
@@ -244,14 +249,14 @@ def _flash_bwd_dq_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     @pl.when(jnp.logical_and(causal_live, k_start < kv_len))
     def _compute():
+        k = k_ref[0]
         _, ds = _bwd_common(
-            q_ref[0].astype(jnp.float32), k_ref[0].astype(jnp.float32),
-            do_ref[0].astype(jnp.float32), v_ref[0].astype(jnp.float32),
+            q_ref[0], k, do_ref[0], v_ref[0],
             lse_ref[0][:, 0:1], delta_ref[0][:, 0:1],
             k_start, q_start + q_offset, kv_len, causal, sm_scale,
             block_q, block_k)
         acc_ref[:] += jax.lax.dot_general(
-            ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
@@ -279,20 +284,19 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     @pl.when(jnp.logical_and(causal_live, k_start < kv_len))
     def _compute():
-        q = q_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        do = do_ref[0]
         p, ds = _bwd_common(
-            q, k_ref[0].astype(jnp.float32), do,
-            v_ref[0].astype(jnp.float32),
+            q, k_ref[0], do, v_ref[0],
             lse_ref[0][:, 0:1], delta_ref[0][:, 0:1],
             k_start, q_start + q_offset, kv_len, causal, sm_scale,
             block_q, block_k)
         # contract over the query dim (dim 0 of both) — no transposes
         dv_acc[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
     @pl.when(i == nq - 1)
@@ -453,8 +457,13 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     on_tpu = jax.default_backend() == "tpu"
     # the Pallas kernel wins on long sequences; for short/windowed attention
     # (Hiera windows, SAM decoder) the fused XLA softmax is faster — kernel
-    # dispatch + Dp/block padding dominate below ~1k tokens
-    long_enough = q.shape[2] >= 1024 and k.shape[2] >= 1024
+    # dispatch + Dp/block padding dominate below ~1k tokens. Non-causal
+    # needs ~2k tokens to win (measured on v5e: InternVideo2's 1025-token
+    # 88-dim non-causal shape runs faster through XLA, 3.6 vs 4.2 ms;
+    # causal 3456 prefill 4.9 vs 13.7 ms and non-causal 4096 Hiera globals
+    # 12.2 vs 15.6 ms favor the kernel)
+    long_enough = (q.shape[2] >= 1024 and k.shape[2] >= 1024
+                   and (causal or q.shape[2] >= 2048))
     if (force_xla or bias is not None or kv_mask is not None or not on_tpu
             or not long_enough):
         return _attention_xla(q, k, v, causal=causal, sm_scale=sm_scale,
