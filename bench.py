@@ -28,8 +28,9 @@ import numpy as np
 A100_BASELINE_FPS = 1.2
 # weight-only int8 LLM serving is the DEFAULT (gated by the int8-vs-float
 # generation/mask parity test, tests/test_int8_parity.py); BENCH_INT8=0
-# benches the bf16 LLM instead
-INT8 = os.environ.get("BENCH_INT8", "1") == "1"
+# benches the bf16 LLM instead, BENCH_INT4=1 the experimental int4 mode
+INT4 = os.environ.get("BENCH_INT4") == "1"
+INT8 = os.environ.get("BENCH_INT8", "1") == "1" and not INT4
 
 NUM_FRAMES = 16
 T_SAM = 8
@@ -49,7 +50,8 @@ def main():
     from videoglamm_tpu.models import VideoGLaMM
 
     cfg = VideoGLaMMConfig.flagship()
-    model = VideoGLaMM(cfg, dtype=jnp.bfloat16, quant_llm_int8=INT8)
+    model = VideoGLaMM(cfg, dtype=jnp.bfloat16, quant_llm_int8=INT8,
+                       quant_llm_int4=INT4)
 
     ids = np.full((1, S_TEXT), 5, np.int32)
     ids[:, 2] = IMAGE_TOKEN_INDEX
@@ -75,7 +77,8 @@ def main():
         lambda s: jnp.zeros(s.shape,
                             s.dtype if not jnp.issubdtype(s.dtype,
                                                           jnp.floating)
-                            else jnp.float32 if (INT8 and s.ndim <= 2)
+                            else jnp.float32 if ((INT8 or INT4)
+                                                 and s.ndim <= 2)
                             else jnp.bfloat16), shapes)
 
     def clip_fn(params, frames, context_images, frames_sam, input_ids,
@@ -110,7 +113,8 @@ def main():
     fps = NUM_FRAMES / dt
     print(json.dumps({
         "metric": "GCG frames/sec/chip (encode+decode+mask)"
-                  + (" [int8 LLM]" if INT8 else ""),
+                  + (" [int8 LLM]" if INT8 else
+                     " [int4 LLM]" if INT4 else ""),
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 2),

@@ -245,3 +245,30 @@ def test_flash_backward_interpret_matches_xla():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4,
                 err_msg=f"{name} causal={causal} q_start={q_start}")
+
+
+def test_int4_quant_roundtrip_and_matmul():
+    from jax.experimental.pallas import tpu as pltpu
+    from videoglamm_tpu.ops.quant import (_dequant4_weights, dequant4_matmul,
+                                          quantize_int4)
+    rng = np.random.RandomState(5)
+    K, N, G = 256, 192, 128
+    w = rng.randn(K, N).astype(np.float32) * 0.1
+    packed, scales = quantize_int4(jnp.asarray(w), group=G)
+    assert packed.shape == (K // 2, N) and scales.shape == (K // G, N)
+    wd = np.asarray(_dequant4_weights(packed, scales, G, jnp.float32))
+    # 4-bit symmetric: error bounded by scale/2 per group
+    bound = np.repeat(np.asarray(scales), G, axis=0) / 2 + 1e-6
+    assert (np.abs(wd - w) <= bound).all()
+
+    x = jnp.asarray(rng.randn(3, K), jnp.float32)
+    ref = np.asarray(x) @ wd
+    got = np.asarray(dequant4_matmul(x, packed, scales, group=G))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+    # pallas matvec path (interpret) == dequantize-then-dot path
+    from videoglamm_tpu.ops.quant import _dequant4_matvec_pallas
+    with pltpu.force_tpu_interpret_mode():
+        got_k = np.asarray(_dequant4_matvec_pallas(x, packed, scales,
+                                                   group=G))
+    np.testing.assert_allclose(got_k, ref, atol=2e-3, rtol=2e-3)

@@ -634,9 +634,32 @@ def quantize_phi3_params(params: Mapping) -> dict:
     return out
 
 
-def quantize_videoglamm_llm(params: Mapping) -> dict:
-    """Composite param tree -> same tree with the LLM in int8 serving form
-    (consumed by VideoGLaMM(quant_llm_int8=True))."""
+def quantize_phi3_params_int4(params: Mapping, group: int = 128) -> dict:
+    """f32/bf16 Phi-3 param tree -> weight-only int4 serving tree (packed
+    nibble kernel + per-(group, channel) scales on the stacked projections
+    and the lm_head). Consumed by Phi3ForCausalLM(quant_int4=True)."""
+    import jax
+    from ..ops.quant import quantize_int4
+
+    out = jax.tree_util.tree_map(lambda x: x, params)
+    layers = out["model"]["layers"]
+    for name in ("qkv_proj", "o_proj", "gate_up_proj", "down_proj"):
+        w = layers[name]["kernel"]                      # [L, in, out]
+        g = min(group, w.shape[1])
+        q, s = jax.vmap(lambda x: quantize_int4(x, group=g))(w)
+        layers[name] = {"kernel": q, "scale": s}
+    w = out["lm_head"]["kernel"]
+    q, s = quantize_int4(w, group=min(group, w.shape[0]))
+    out["lm_head"] = {"kernel": q, "scale": s}
+    return out
+
+
+def quantize_videoglamm_llm(params: Mapping, mode: str = "int8") -> dict:
+    """Composite param tree -> same tree with the LLM in int8/int4 serving
+    form (consumed by VideoGLaMM(quant_llm_int8=True) /
+    VideoGLaMM(quant_llm_int4=True))."""
     out = dict(params)
-    out["llm"] = quantize_phi3_params(params["llm"])
+    quant = (quantize_phi3_params_int4 if mode == "int4"
+             else quantize_phi3_params)
+    out["llm"] = quant(params["llm"])
     return out

@@ -52,6 +52,27 @@ class QDense(nn.Module):
         return dequant_matmul(x.astype(self.dtype), k, s)
 
 
+class QDense4(nn.Module):
+    """Weight-only int4 linear: params {kernel: packed int8 [in//2, out],
+    scale: f32 [in//group, out]} consumed by the Pallas unpack-fused matvec
+    (ops/quant.py dequant4_matmul). Experimental serving mode — gate on the
+    int4 parity test before enabling for real deployments."""
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+    group: int = 128
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import dequant4_matmul
+        K = x.shape[-1]
+        g = min(self.group, K)          # tiny configs: one group
+        k = self.param("kernel", nn.initializers.zeros,
+                       (K // 2, self.features), jnp.int8)
+        s = self.param("scale", nn.initializers.ones,
+                       (K // g, self.features), jnp.float32)
+        return dequant4_matmul(x.astype(self.dtype), k, s, group=g)
+
+
 def Dense(features, use_bias=True, dtype=jnp.bfloat16, name=None,
           kernel_init=nn.initializers.lecun_normal()):
     """nn.Dense factory with f32 params + configurable compute dtype.

@@ -24,7 +24,7 @@ import flax.linen as nn
 from ..config import Phi3Config
 from ..ops import dot_product_attention
 from ..ops.rope import apply_rope, rope_cos_sin
-from .common import Dense, QDense, RMSNorm
+from .common import Dense, QDense, QDense4, RMSNorm
 
 
 def init_kv_cache(cfg: Phi3Config, batch: int, max_len: int,
@@ -49,11 +49,15 @@ class Phi3DecoderLayer(nn.Module):
     # inference checkpoints are unchanged.
     lora_rank: int = 0
     lora_alpha: float = 16.0
-    # weight-only int8 serving mode: the four big projections load int8
-    # weights through the fused dequant matmul (ops/quant.py)
+    # weight-only quantized serving modes: the four big projections load
+    # int8 (fused dequant matmul) or packed int4 (Pallas unpack-fused
+    # matvec) weights (ops/quant.py)
     quant_int8: bool = False
+    quant_int4: bool = False
 
     def _proj(self, features, name):
+        if self.quant_int4:
+            return QDense4(features, dtype=self.dtype, name=name)
         if self.quant_int8:
             return QDense(features, dtype=self.dtype, name=name)
         return Dense(features, use_bias=False, dtype=self.dtype, name=name)
@@ -161,6 +165,7 @@ class Phi3Model(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     quant_int8: bool = False
+    quant_int4: bool = False
 
     @nn.compact
     def __call__(self, embeds, positions, kv_lens, cache=None):
@@ -170,7 +175,8 @@ class Phi3Model(nn.Module):
             layer_cls = nn.remat(layer_cls, prevent_cse=False)
         layer = layer_cls(cfg, causal=self.causal, dtype=self.dtype,
                           lora_rank=self.lora_rank, lora_alpha=self.lora_alpha,
-                          quant_int8=self.quant_int8, name="layers")
+                          quant_int8=self.quant_int8,
+                          quant_int4=self.quant_int4, name="layers")
 
         if cache is not None:
             # the stacked cache rides the CARRY: per-layer updates are tiny
@@ -208,6 +214,7 @@ class Phi3ForCausalLM(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 16.0
     quant_int8: bool = False
+    quant_int4: bool = False
 
     def setup(self):
         vocab = self.cfg.vocab_size + self.extra_vocab
@@ -217,8 +224,11 @@ class Phi3ForCausalLM(nn.Module):
         self.model = Phi3Model(self.cfg, dtype=self.dtype, remat=self.remat,
                                lora_rank=self.lora_rank,
                                lora_alpha=self.lora_alpha,
-                               quant_int8=self.quant_int8)
-        if self.quant_int8:
+                               quant_int8=self.quant_int8,
+                               quant_int4=self.quant_int4)
+        if self.quant_int4:
+            self.lm_head = QDense4(vocab, dtype=self.dtype)
+        elif self.quant_int8:
             self.lm_head = QDense(vocab, dtype=self.dtype)
         else:
             self.lm_head = nn.Dense(vocab, use_bias=False, dtype=self.dtype,

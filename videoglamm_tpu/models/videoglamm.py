@@ -108,6 +108,7 @@ class VideoGLaMM(nn.Module):
     lora_rank: int = 0          # LoRA on LLM q/v (training); 0 = disabled
     lora_alpha: float = 16.0
     quant_llm_int8: bool = False  # weight-only int8 LLM serving mode
+    quant_llm_int4: bool = False  # experimental int4 serving (group-128)
 
     def setup(self):
         cfg = self.cfg
@@ -125,7 +126,8 @@ class VideoGLaMM(nn.Module):
                                        remat=self.remat_llm,
                                        lora_rank=self.lora_rank,
                                        lora_alpha=self.lora_alpha,
-                                       quant_int8=self.quant_llm_int8)
+                                       quant_int8=self.quant_llm_int8,
+                                       quant_int4=self.quant_llm_int4)
         elif cfg.llm_type == "llama3_1":
             self.llm = LlamaForCausalLM(cfg.llama, extra_vocab=1,
                                         dtype=self.dtype,

@@ -88,6 +88,148 @@ def _dequant_matmul_pallas(x, w_q, scale, block_n=512, block_k=512):
     return out[:M, :N]
 
 
+# ---------------------------------------------------------------- int4 ---
+
+def quantize_int4(w: jnp.ndarray, group: int = 128
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[K, N] float -> (packed int8 [K//2, N], scales f32 [K//group, N]).
+
+    4-bit signed symmetric with per-(group, output-channel) scales; packed
+    row r holds k=2r in the low nibble and k=2r+1 in the high nibble so the
+    kernel can unpack with two shifts and never interleave sublanes."""
+    K, N = w.shape
+    assert K % group == 0 and K % 2 == 0, (K, group)
+    wf = w.astype(jnp.float32).reshape(K // group, group, N)
+    amax = jnp.max(jnp.abs(wf), axis=1)
+    scale = jnp.where(amax > 0, amax / 7.0, 1.0)          # [K//group, N]
+    q = jnp.clip(jnp.round(wf / scale[:, None]), -8, 7)
+    q = q.reshape(K, N).astype(jnp.int8)
+    lo = q[0::2] & 0x0F
+    hi = jnp.left_shift(q[1::2], 4)
+    return (lo | hi).astype(jnp.int8), scale
+
+
+def _unpack4(p):
+    """packed int8 -> (lo, hi) sign-extended nibbles (int32).
+
+    Mosaic cannot legalize i8 vector shifts, so work in i32: the high
+    nibble is an arithmetic right shift of the sign-extended byte; the low
+    nibble sign-extends via the (x ^ 8) - 8 trick (no left shift)."""
+    p32 = p.astype(jnp.int32)
+    hi = jnp.right_shift(p32, 4)
+    lo = (jnp.bitwise_and(p32, 15) ^ 8) - 8
+    return lo, hi
+
+
+def _dequant4_weights(packed, scales, group, dtype):
+    lo, hi = _unpack4(packed)
+    K2, N = packed.shape
+    q = jnp.stack([lo, hi], axis=1).reshape(2 * K2, N)
+    w = q.astype(jnp.float32) * jnp.repeat(scales, group, axis=0)
+    return w.astype(dtype)
+
+
+def _kernel4(xe_ref, xo_ref, p_ref, s_ref, o_ref, acc_ref, *, gh: int):
+    """One (m, n, k2) block: unpack the whole k2-slab, expand scales with a
+    sublane repeat (no dynamic sub-128 slicing, which Mosaic rejects on the
+    lane dim), dequantize, two dots."""
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo, hi = _unpack4(p_ref[:])                         # [bk2, bn] int8
+    sg = s_ref[:]                                       # [bk2//gh, bn] f32
+    s = jnp.broadcast_to(sg[:, None, :],
+                         (sg.shape[0], gh, sg.shape[1])
+                         ).reshape(sg.shape[0] * gh, sg.shape[1])
+    wl = lo.astype(jnp.float32) * s
+    wh = hi.astype(jnp.float32) * s
+    acc_ref[:] += jax.lax.dot_general(
+        xe_ref[:].astype(jnp.float32), wl, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot_general(
+        xo_ref[:].astype(jnp.float32), wh, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == nk - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group", "block_m", "block_n",
+                                             "block_k2"))
+def _dequant4_matvec_pallas(x, packed, scales, group=128, block_m=8,
+                            block_n=512, block_k2=2048):
+    M, K = x.shape
+    N = packed.shape[1]
+    gh = group // 2
+    Mp = _round_up(M, block_m)
+    Np = _round_up(N, min(block_n, _round_up(N, 128)))
+    block_n = min(block_n, Np)
+    # largest k2 block <= block_k2 that divides K//2, is group-aligned, and
+    # whose scale-block sublane count (c) is 8-aligned or the full array
+    # (TPU block-shape tiling rule)
+    n_groups = K // group
+    limit = min(block_k2, K // 2)
+    block_k2 = K // 2
+    for c in range(n_groups, 0, -1):
+        bk = c * gh
+        if bk <= limit and (K // 2) % bk == 0 and \
+                (c % 8 == 0 or c == n_groups):
+            block_k2 = bk
+            break
+    assert (K // 2) % block_k2 == 0 and block_k2 % gh == 0, (K, group)
+
+    xe = jnp.pad(x[:, 0::2], ((0, Mp - M), (0, 0)))
+    xo = jnp.pad(x[:, 1::2], ((0, Mp - M), (0, 0)))
+    pp = jnp.pad(packed, ((0, 0), (0, Np - N)))
+    sp = jnp.pad(scales, ((0, 0), (0, Np - N)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel4, gh=gh),
+        grid=(Mp // block_m, Np // block_n, (K // 2) // block_k2),
+        in_specs=[
+            pl.BlockSpec((block_m, block_k2), lambda m, n, k: (m, k)),
+            pl.BlockSpec((block_m, block_k2), lambda m, n, k: (m, k)),
+            pl.BlockSpec((block_k2, block_n), lambda m, n, k: (k, n)),
+            pl.BlockSpec((block_k2 // gh, block_n), lambda m, n, k: (k, n)),
+        ],
+        out_specs=pl.BlockSpec((block_m, block_n), lambda m, n, k: (m, n)),
+        scratch_shapes=[pltpu.VMEM((block_m, block_n), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(xe, xo, pp, sp)
+    return out[:M, :N]
+
+
+def dequant4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
+                    scales: jnp.ndarray, group: int = 128):
+    """x: [..., K]; packed: [K//2, N] int8 nibbles; scales: [K//group, N]
+    f32 -> [..., N]. Decode (small M) runs the Pallas unpack-fused matvec so
+    weights stream from HBM at 4 bits; large-M prefill dequantizes once and
+    uses the MXU-efficient XLA matmul.
+
+    Measured (v5e, flagship decode): the VPU nibble-unpack costs more than
+    the halved HBM traffic saves — int4 serving runs the clip at 8.5 vs
+    int8's 12.0 frames/s. int4 is therefore a MEMORY mode (2x less weight
+    HBM for fitting larger models per chip), not a speed mode, until the
+    MXU can consume packed int4 natively."""
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+    if jax.default_backend() == "tpu" and M <= 64:
+        y = _dequant4_matvec_pallas(x2, packed, scales, group=group)
+    else:
+        w = _dequant4_weights(packed, scales, group, x.dtype)
+        y = jnp.dot(x2, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    return y.reshape(lead + (packed.shape[1],))
+
+
 def dequant_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray):
     """x: [..., K] float; w_q: [K, N] int8; scale: [N] f32 -> [..., N].
 
