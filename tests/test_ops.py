@@ -210,6 +210,38 @@ def test_hole_filling_device():
     assert out[0, 0, 0] < 0                          # big region untouched
 
 
+def test_window_attention_interpret_matches_xla():
+    """Single-block batched attention kernel (Hiera windows / InternVideo2 /
+    CLIP route) in interpret mode vs the XLA path, incl. the padded-column
+    masking (577 -> 640) and the G-grouping remainder (B*H=6 with G|8)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from videoglamm_tpu.ops.attention import _window_attention
+
+    rng = np.random.RandomState(3)
+    for (B, H, S, D) in [(2, 3, 256, 72), (1, 2, 577, 64), (1, 1, 130, 88)]:
+        q = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+        k = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+        v = jnp.asarray(rng.randn(B, H, S, D), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = _window_attention(q, k, v, D ** -0.5)
+        ref = _attention_xla(q, k, v, causal=False, sm_scale=D ** -0.5,
+                             kv_lens=None, bias=None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+        # gradients route through the XLA recompute vjp
+        def loss_win(q_):
+            with pltpu.force_tpu_interpret_mode():
+                return _window_attention(q_, k, v, D ** -0.5).sum()
+
+        def loss_ref(q_):
+            return _attention_xla(q_, k, v, causal=False, sm_scale=D ** -0.5,
+                                  kv_lens=None, bias=None).sum()
+        np.testing.assert_allclose(np.asarray(jax.grad(loss_win)(q)),
+                                   np.asarray(jax.grad(loss_ref)(q)),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_flash_backward_interpret_matches_xla():
     """Pallas dq/dk/dv (interpret mode) vs jax.vjp through the XLA path,
     causal + kv_lens + prefill q_start, non-128-multiple shapes."""

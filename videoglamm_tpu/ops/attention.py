@@ -144,13 +144,28 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _pick_block(S: int, cap: int = 512) -> int:
+    """Block size for one flash grid axis: the largest block whose padded
+    length stays within 10% of the best achievable. A fixed 512 block pads
+    1025 -> 1536 (1.5x the work per axis) where 384 pads to 1152; but at
+    3456, 512 (pads to 3584, +3.7%) measures faster than the exact-fit 384
+    — bigger blocks amortize the per-grid-step overhead."""
+    min_sp = min(_round_up(S, b) for b in (512, 384, 256, 128) if b <= cap)
+    for b in (512, 384, 256, 128):
+        if b <= cap and _round_up(S, b) <= 1.1 * min_sp:
+            return b
+    return 128
+
+
 @functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k"))
-def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=512,
-               block_k=512):
+def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=None,
+               block_k=None):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    block_q = min(block_q, _round_up(Sq, 128))
-    block_k = min(block_k, _round_up(Sk, 128))
+    block_q = _pick_block(Sq) if block_q is None else \
+        min(block_q, _round_up(Sq, 128))
+    block_k = _pick_block(Sk) if block_k is None else \
+        min(block_k, _round_up(Sk, 128))
     Dp = _round_up(D, 128)
     Sqp = _round_up(Sq, block_q)
     Skp = _round_up(Sk, block_k)
@@ -308,15 +323,17 @@ def _flash_bwd_dkv_kernel(kvlen_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 @functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q",
                                              "block_k"))
 def _flash_bwd(q, k, v, kv_lens, q_start, out, lse, g, *, causal, sm_scale,
-               block_q=512, block_k=512):
+               block_q=None, block_k=None):
     """Blockwise recompute-style backward: dq over (q-block x k-block) with
     the k loop innermost; dk/dv with the q loop innermost. O(S) memory —
     logits are never materialized (reference capability:
     model/llava/.../flash_attn_triton.py fwd+bwd)."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    block_q = min(block_q, _round_up(Sq, 128))
-    block_k = min(block_k, _round_up(Sk, 128))
+    block_q = _pick_block(Sq) if block_q is None else \
+        min(block_q, _round_up(Sq, 128))
+    block_k = _pick_block(Sk) if block_k is None else \
+        min(block_k, _round_up(Sk, 128))
     Dp = _round_up(D, 128)
     Sqp = _round_up(Sq, block_q)
     Skp = _round_up(Sk, block_k)
@@ -436,6 +453,88 @@ def flash_attention(q, k, v, *, causal: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Batched single-block attention (small windows)
+# ---------------------------------------------------------------------------
+def _window_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                   s_valid: int, g: int):
+    """G (batch*head) rows of full self-attention per program. Each row is a
+    single [Sp, Sp] block — whole-row softmax, no online rescaling. Padded
+    KV columns (>= s_valid) are masked; padded query rows are sliced off by
+    the caller."""
+    for i in range(g):
+        q = q_ref[i]
+        k = k_ref[i]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if s_valid < k.shape[0]:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < s_valid, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[i],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[i] = (o / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def _window_attention_fwd(q, k, v, *, sm_scale):
+    """Non-causal full self-attention for short sequences (<= 512 tokens),
+    e.g. Hiera window attention where XLA's materialized-logits path is
+    ~6x off the streaming bound at [16 windows, 8 heads, 256, 72]. Folds
+    (batch, head) pairs into per-program groups so block DMAs amortize."""
+    B, H, S, D = q.shape
+    Sp = _round_up(S, 128)
+    Dp = _round_up(D, 128)
+    BH = B * H
+
+    # VMEM per group row: q/k/v/o blocks + the [Sp, Sp] f32 logits
+    per_g = 3 * Sp * Dp * 2 + Sp * Sp * 4 + Sp * Dp * 4
+    G = max(1, min(8, (8 << 20) // per_g, BH))
+    BHp = _round_up(BH, G)
+
+    def prep(x):
+        x = x.reshape(BH, S, D)
+        return jnp.pad(x, ((0, BHp - BH), (0, Sp - S), (0, Dp - D)))
+
+    qp, kp, vp = prep(q), prep(k), prep(v)
+    out = pl.pallas_call(
+        functools.partial(_window_kernel, sm_scale=sm_scale, s_valid=S, g=G),
+        grid=(BHp // G,),
+        in_specs=[pl.BlockSpec((G, Sp, Dp), lambda b: (b, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((G, Sp, Dp), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((BHp, Sp, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(qp, kp, vp)
+    return out[:BH, :S, :D].reshape(B, H, S, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _window_attention(q, k, v, sm_scale):
+    return _window_attention_fwd(q, k, v, sm_scale=sm_scale)
+
+
+def _window_attention_fwd_rule(q, k, v, sm_scale):
+    return _window_attention_fwd(q, k, v, sm_scale=sm_scale), (q, k, v)
+
+
+def _window_attention_bwd_rule(sm_scale, res, g):
+    # short sequences: the XLA recompute backward is cheap and exact
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _attention_xla(q, k, v, causal=False,
+                                       sm_scale=sm_scale, kv_lens=None,
+                                       bias=None), q, k, v)
+    return vjp(g)
+
+
+_window_attention.defvjp(_window_attention_fwd_rule,
+                         _window_attention_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
 # Dispatcher
 # ---------------------------------------------------------------------------
 def dot_product_attention(q, k, v, *, causal: bool = False,
@@ -455,17 +554,26 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     on_tpu = jax.default_backend() == "tpu"
-    # the Pallas kernel wins on long sequences; for short/windowed attention
-    # (Hiera windows, SAM decoder) the fused XLA softmax is faster — kernel
-    # dispatch + Dp/block padding dominate below ~1k tokens. Non-causal
-    # needs ~2k tokens to win (measured on v5e: InternVideo2's 1025-token
-    # 88-dim non-causal shape runs faster through XLA, 3.6 vs 4.2 ms;
-    # causal 3456 prefill 4.9 vs 13.7 ms and non-causal 4096 Hiera globals
-    # 12.2 vs 15.6 ms favor the kernel)
-    long_enough = (q.shape[2] >= 1024 and k.shape[2] >= 1024
-                   and (causal or q.shape[2] >= 2048))
-    if (force_xla or bias is not None or kv_mask is not None or not on_tpu
-            or not long_enough):
+    if force_xla or bias is not None or kv_mask is not None or not on_tpu:
+        return _attention_xla(q, k, v, causal=causal, sm_scale=sm_scale,
+                              kv_lens=kv_lens, bias=bias, kv_mask=kv_mask,
+                              q_start=q_start)
+    Sq, Sk = q.shape[2], k.shape[2]
+    # medium non-causal full self-attention (InternVideo2 1025, CLIP 577):
+    # the single-block kernel avoids both XLA's materialized f32 logits
+    # (2.19 ms/block inside InternVideo2) and the flash kernel's online-
+    # softmax/block-padding overhead (measured v5e, scan-chained:
+    # xla 1.65 / flash 1.88 / window 1.20 ms at [4,16,1025,88];
+    # xla 1.91 / flash 3.90 / window 1.53 ms at [16,16,577,64])
+    if (not causal and kv_lens is None and q_start is None and Sq == Sk
+            and 512 < Sq < 2048):
+        return _window_attention(q, k, v, float(sm_scale))
+    # long sequences: Pallas flash (causal 3456 prefill: 12.0 -> 3.4 ms;
+    # non-causal 4096 Hiera globals: 4.6 -> 1.9 ms). Short/windowed shapes
+    # (Hiera 256-token windows, SAM decoder) measured a wash or worse than
+    # the fused XLA softmax — they stay on XLA.
+    long_enough = (Sq >= 1024 and Sk >= 1024 and (causal or Sq >= 2048))
+    if not long_enough:
         return _attention_xla(q, k, v, causal=causal, sm_scale=sm_scale,
                               kv_lens=kv_lens, bias=bias, kv_mask=kv_mask,
                               q_start=q_start)
