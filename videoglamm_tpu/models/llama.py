@@ -66,7 +66,7 @@ class LlamaDecoderLayer(nn.Module):
         v = Dense(nkv * hd, use_bias=False, dtype=self.dtype,
                   name="v_proj")(h)
         q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, S, nkv, hd)
+        k = k.reshape(B, S, nkv, hd).transpose(0, 2, 1, 3)   # [B,nkv,S,hd]
         v = v.reshape(B, S, nkv, hd)
 
         if self.use_rope_scaling:
@@ -74,10 +74,10 @@ class LlamaDecoderLayer(nn.Module):
         else:
             cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)
         q = apply_rope(q, cos, sin)
-        k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+        k = apply_rope(k, cos, sin)
 
         if cache_k is not None:
-            kn = k.transpose(0, 2, 1, 3).astype(cache_k.dtype)
+            kn = k.astype(cache_k.dtype)
             vn = v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
             starts = positions[:, 0]
             if B == 1:
@@ -104,7 +104,7 @@ class LlamaDecoderLayer(nn.Module):
             v_att = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
                                                  keepdims=False)
         else:
-            k_att = k.transpose(0, 2, 1, 3)
+            k_att = k
             v_att = v.transpose(0, 2, 1, 3)
 
         if nkv != nh:

@@ -93,18 +93,18 @@ class Phi3DecoderLayer(nn.Module):
                 else:
                     v = v + d
         q = q.reshape(B, S, nh, hd).transpose(0, 2, 1, 3)    # [B,nh,S,hd]
-        k = k.reshape(B, S, nkv, hd)                          # [B,S,nkv,hd]
+        k = k.reshape(B, S, nkv, hd).transpose(0, 2, 1, 3)   # [B,nkv,S,hd]
         v = v.reshape(B, S, nkv, hd)
 
         cos, sin = rope_cos_sin(positions, hd, cfg.rope_theta)  # [B,S,hd]
         q = apply_rope(q, cos, sin)
-        k = apply_rope(k.transpose(0, 2, 1, 3), cos, sin).transpose(0, 2, 1, 3)
+        k = apply_rope(k, cos, sin)                          # [B,nkv,S,hd]
 
         if cache_k is not None:
             # positions are contiguous per row (arange for prefill, a single
             # slot for decode): write via in-place dynamic slices at each
             # row's start position — no scatter, no cache transpose
-            kn = k.transpose(0, 2, 1, 3).astype(cache_k.dtype)  # [B,nkv,S,hd]
+            kn = k.astype(cache_k.dtype)                     # [B,nkv,S,hd]
             vn = v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
             starts = positions[:, 0]
             if B == 1:
@@ -131,7 +131,7 @@ class Phi3DecoderLayer(nn.Module):
             v_att = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
                                                  keepdims=False)
         else:
-            k_att = k.transpose(0, 2, 1, 3)
+            k_att = k
             v_att = v.transpose(0, 2, 1, 3)
 
         if nkv != nh:

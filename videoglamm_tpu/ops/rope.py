@@ -31,16 +31,21 @@ def rotate_half(x):
 
 
 def apply_rope(x, cos, sin):
-    """x: [B, H, S, D]; cos/sin: [S, D] or [B, S, D] broadcastable."""
+    """x: [B, H, S, D]; cos/sin: [S, D] or [B, S, D] broadcastable.
+
+    Computed in x's dtype (HF casts the f32 cos/sin tables to the query
+    dtype before the multiply — modeling_phi3 apply_rotary_pos_emb); an
+    f32 upcast here materialized three [B, H, S, D] f32 relayouts per layer
+    at prefill scale (~1.5 ms/layer on v5e)."""
     if cos.ndim == 2:
         cos = cos[None, None]
         sin = sin[None, None]
     elif cos.ndim == 3:
         cos = cos[:, None]
         sin = sin[:, None]
-    xf = x.astype(jnp.float32)
-    out = xf * cos + rotate_half(xf) * sin
-    return out.astype(x.dtype)
+    cos = cos.astype(x.dtype)
+    sin = sin.astype(x.dtype)
+    return x * cos + rotate_half(x) * sin
 
 
 # ---------------------------------------------------------------------------
