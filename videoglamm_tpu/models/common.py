@@ -121,9 +121,17 @@ class MultiHeadAttention(nn.Module):
 
 
 def gelu_exact(x):
-    """torch nn.GELU default (erf form; flax nn.gelu defaults to the tanh
-    approximation, which diverges ~1e-3 from torch)."""
-    return nn.gelu(x, approximate=False)
+    """torch nn.GELU default (erf form) when computing in f32 — golden
+    parity vs the reference torch modules.
+
+    In sub-f32 storage dtypes the tanh approximation is used instead: its
+    deviation from erf is <= 5e-4 absolute (20x below the bf16 rounding
+    quantum at the worst point, x~2.6), while the erf lowering costs ~0.09
+    ms of VPU time per 9.4M elements on v5e — ~5 ms/frame summed over
+    Hiera-L's MLPs."""
+    if x.dtype in (jnp.float32, jnp.float64):
+        return nn.gelu(x, approximate=False)
+    return nn.gelu(x, approximate=True)
 
 
 class Mlp(nn.Module):
