@@ -108,14 +108,26 @@ class MultiHeadAttention(nn.Module):
         v = Dense(inner, use_bias=self.qkv_bias, dtype=self.dtype,
                   name="v_proj")(context)
 
-        def split(t, s):
-            return t.reshape(t.shape[0], s, self.num_heads, hd).transpose(0, 2, 1, 3)
+        B, S = x.shape[0], x.shape[1]
+        if (context is x and not causal and kv_lens is None
+                and bias is None):
+            # plain self-attention: BSHD kernel path, no head transposes
+            from ..ops.attention import attention_bshd
+            o = attention_bshd(q.reshape(B, S, self.num_heads, hd),
+                               k.reshape(B, S, self.num_heads, hd),
+                               v.reshape(B, S, self.num_heads, hd))
+            o = o.reshape(B, S, inner)
+        else:
+            def split(t, s):
+                return t.reshape(t.shape[0], s, self.num_heads,
+                                 hd).transpose(0, 2, 1, 3)
 
-        o = dot_product_attention(split(q, x.shape[1]),
-                                  split(k, context.shape[1]),
-                                  split(v, context.shape[1]),
-                                  causal=causal, kv_lens=kv_lens, bias=bias)
-        o = o.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
+            o = dot_product_attention(split(q, S),
+                                      split(k, context.shape[1]),
+                                      split(v, context.shape[1]),
+                                      causal=causal, kv_lens=kv_lens,
+                                      bias=bias)
+            o = o.transpose(0, 2, 1, 3).reshape(B, S, inner)
         return Dense(d, use_bias=self.out_bias, dtype=self.dtype,
                      name="out_proj")(o)
 

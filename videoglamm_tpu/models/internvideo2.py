@@ -87,11 +87,12 @@ class InternVideo2Block(nn.Module):
             q = RMSNorm(eps=cfg.rms_eps, name="q_norm")(q)
             k = RMSNorm(eps=cfg.rms_eps, name="k_norm")(k)
 
-        def split(t):
-            return t.reshape(B, N, nh, hd).transpose(0, 2, 1, 3)
-
-        o = dot_product_attention(split(q), split(k), split(v))
-        o = o.transpose(0, 2, 1, 3).reshape(B, N, D)
+        # BSHD kernel path — q/k/v reshapes are free, no head transposes
+        from ..ops.attention import attention_bshd
+        o = attention_bshd(q.reshape(B, N, nh, hd),
+                           k.reshape(B, N, nh, hd),
+                           v.reshape(B, N, nh, hd))
+        o = o.reshape(B, N, D)
         o = Dense(D, dtype=self.dtype, name="attn_proj")(o)
         ls1 = self.param("ls1_gamma", nn.initializers.constant(cfg.init_values),
                          (D,), jnp.float32)

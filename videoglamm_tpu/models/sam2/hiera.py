@@ -69,9 +69,28 @@ class MultiScaleAttention(nn.Module):
         nh = self.num_heads
         hd = self.dim_out // nh
         qkv = Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
+
+        if not self.q_pool and H * W <= 1536:
+            # windowed blocks: qkv tokens feed the BSHD kernel straight
+            # from the projection (heads indexed by lane offset) — no
+            # [B,H,S,D] transposes, which measured 32% of a stage-3
+            # block's device time. Global-attention blocks (4096 tokens)
+            # stay on the flash path below.
+            # NOTE: folding the smaller windows (stage 1/2/4: 16/64 tokens)
+            # into block-diagonal 512-token super-windows was tried here
+            # (kernel supports win=) and REGRESSED SAM encode 240 -> 368 ms:
+            # at stage-1/2 token counts the per-head 72 -> 128 lane padding
+            # relayouts dwarf the attention win. Only the 256-token stage-3
+            # windows take the packed kernel.
+            from ...ops.attention import attention_packed_qkv
+            S = H * W
+            if S >= 256:
+                o = attention_packed_qkv(qkv.reshape(B, S, 3 * nh * hd), nh)
+                o = o.reshape(B, H, W, nh * hd)
+                return Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
+
         qkv = qkv.reshape(B, H * W, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
         if self.q_pool:
             q = _max_pool_2x(q.reshape(B, H, W, nh * hd))
             H, W = q.shape[1], q.shape[2]

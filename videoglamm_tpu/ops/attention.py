@@ -535,6 +535,205 @@ _window_attention.defvjp(_window_attention_fwd_rule,
 
 
 # ---------------------------------------------------------------------------
+# BSHD attention (no head transposes)
+# ---------------------------------------------------------------------------
+def _bshd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
+                 s_valid: int, g: int, win: int = 0):
+    """Blocks are [1, Sp, G*128] lane-flattened slices of [B, Sp, H*128]
+    (or [B, Sp, 3H*128]) arrays — heads stay where the projection wrote
+    them, so the caller never transposes [B, S, H, D] -> [B, H, S, D]
+    (those relayouts measured 32% of a Hiera stage-3 block). Head i is the
+    static 128-aligned lane slice [i*128, (i+1)*128); one full-row softmax
+    per head.
+
+    win > 0 restricts attention block-diagonally to `win`-token windows:
+    several small windows fold into one program's rows (Hiera's 16/64-token
+    windows become 512-token super-windows) instead of wasting 8x padding
+    per window."""
+    for i in range(g):
+        sl = slice(128 * i, 128 * (i + 1))
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        masked = False
+        if win and win < k.shape[0]:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(row // win == col // win, s, NEG_INF)
+            masked = True
+        if s_valid < k.shape[0] and not masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < s_valid, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[0, :, sl],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def _pick_group(H: int, Sp: int) -> int:
+    """Heads per program: largest divisor of H whose working set fits in
+    VMEM — 4 double-buffered qkvo blocks plus one f32 logits buffer PER
+    unrolled head iteration (Mosaic does not reuse the scratch across the
+    static loop; measured: [16,640,2048] blocks at G=8 demanded 20.6M)."""
+    for g in (8, 4, 2, 1):
+        if H % g == 0 and \
+                8 * Sp * g * 128 * 2 + g * Sp * Sp * 4 <= (14 << 20):
+            return g
+    return 1
+
+
+def _pad_heads_flat(x, Sp, Dp):
+    """[B, S, H, D] -> [B, Sp, H*Dp] with per-head lane padding."""
+    B, S, H, D = x.shape
+    x = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0), (0, Dp - D)))
+    return x.reshape(B, Sp, H * Dp)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale",))
+def _bshd_fwd(q, k, v, *, sm_scale):
+    B, S, H, D = q.shape
+    Sp = _round_up(S, 128)
+    Dp = _round_up(D, 128)
+    G = _pick_group(H, Sp)
+
+    spec = pl.BlockSpec((1, Sp, G * Dp), lambda b, h: (b, 0, h))
+    out = pl.pallas_call(
+        functools.partial(_bshd_kernel, sm_scale=sm_scale, s_valid=S, g=G),
+        grid=(B, H // G),
+        in_specs=[spec] * 3,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, Sp, H * Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(_pad_heads_flat(q, Sp, Dp), _pad_heads_flat(k, Sp, Dp),
+      _pad_heads_flat(v, Sp, Dp))
+    return out.reshape(B, Sp, H, Dp)[:, :S, :, :D]
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "sm_scale", "win"))
+def _packed_qkv_fwd(qkv, *, num_heads, sm_scale, win=0):
+    """qkv: [B, S, 3*H*hd] straight from the fused projection (HF packing:
+    q heads, then k heads, then v heads). The kernel's q/k/v specs index
+    disjoint head ranges of ONE padded array — no slicing, no transposes."""
+    B, S, C3 = qkv.shape
+    H = num_heads
+    D = C3 // (3 * H)
+    Sp = _round_up(S, 128)
+    Dp = _round_up(D, 128)
+    G = _pick_group(H, Sp)
+    nh_blocks = H // G
+
+    x = _pad_heads_flat(qkv.reshape(B, S, 3 * H, D), Sp, Dp)
+
+    def spec(off):
+        return pl.BlockSpec((1, Sp, G * Dp), lambda b, h: (b, 0, off + h))
+
+    out = pl.pallas_call(
+        functools.partial(_bshd_kernel, sm_scale=sm_scale, s_valid=S, g=G,
+                          win=win),
+        grid=(B, nh_blocks),
+        in_specs=[spec(0), spec(nh_blocks), spec(2 * nh_blocks)],
+        out_specs=pl.BlockSpec((1, Sp, G * Dp), lambda b, h: (b, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, H * Dp), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x, x, x)
+    return out.reshape(B, Sp, H, Dp)[:, :S, :, :D]
+
+
+def _attention_xla_bshd(q, k, v, sm_scale, win: int = 0):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * sm_scale
+    if win and win < k.shape[1]:
+        row = jnp.arange(q.shape[1])[:, None] // win
+        col = jnp.arange(k.shape[1])[None, :] // win
+        logits = jnp.where((row == col)[None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _attention_bshd_tpu(q, k, v, sm_scale):
+    return _bshd_fwd(q, k, v, sm_scale=sm_scale)
+
+
+def _bshd_fwd_rule(q, k, v, sm_scale):
+    return _bshd_fwd(q, k, v, sm_scale=sm_scale), (q, k, v)
+
+
+def _bshd_bwd_rule(sm_scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _attention_xla_bshd(q, k, v, sm_scale),
+                     q, k, v)
+    return vjp(g)
+
+
+_attention_bshd_tpu.defvjp(_bshd_fwd_rule, _bshd_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _packed_qkv_tpu(qkv, num_heads, sm_scale, win):
+    return _packed_qkv_fwd(qkv, num_heads=num_heads, sm_scale=sm_scale,
+                           win=win)
+
+
+def _packed_fwd_rule(qkv, num_heads, sm_scale, win):
+    return _packed_qkv_fwd(qkv, num_heads=num_heads, sm_scale=sm_scale,
+                           win=win), qkv
+
+
+def _packed_bwd_rule(num_heads, sm_scale, win, qkv, g):
+    def ref(qkv):
+        B, S, C3 = qkv.shape
+        D = C3 // (3 * num_heads)
+        x = qkv.reshape(B, S, 3, num_heads, D)
+        return _attention_xla_bshd(x[:, :, 0], x[:, :, 1], x[:, :, 2],
+                                   sm_scale, win)
+    _, vjp = jax.vjp(ref, qkv)
+    return vjp(g)
+
+
+_packed_qkv_tpu.defvjp(_packed_fwd_rule, _packed_bwd_rule)
+
+
+def attention_bshd(q, k, v, *, sm_scale: Optional[float] = None):
+    """Full (non-causal, unmasked) self-attention in [B, S, H, D] layout —
+    the layout projections produce. q/k/v may be free reshapes of the
+    projection outputs; no [B,H,S,D] transpose is ever materialized.
+    Returns [B, S, H, D]. Falls back to the XLA einsum off-TPU or at shapes
+    the kernel doesn't cover."""
+    B, S, H, D = q.shape
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+    if jax.default_backend() == "tpu" and 128 <= S <= 1536:
+        return _attention_bshd_tpu(q, k, v, float(sm_scale))
+    return _attention_xla_bshd(q, k, v, sm_scale)
+
+
+def attention_packed_qkv(qkv, num_heads: int, *,
+                         sm_scale: Optional[float] = None, win: int = 0):
+    """Self-attention straight from a fused qkv projection ([B, S, 3*H*hd],
+    HF head packing). Returns [B, S, H, hd]. win > 0 = block-diagonal
+    attention over `win`-token windows folded along the row axis (the
+    caller guarantees S % win == 0)."""
+    B, S, C3 = qkv.shape
+    D = C3 // (3 * num_heads)
+    if sm_scale is None:
+        sm_scale = D ** -0.5
+    if jax.default_backend() == "tpu" and 128 <= S <= 1536:
+        return _packed_qkv_tpu(qkv, num_heads, float(sm_scale), win)
+    x = qkv.reshape(B, S, 3, num_heads, D)
+    return _attention_xla_bshd(x[:, :, 0], x[:, :, 1], x[:, :, 2], sm_scale,
+                               win)
+
+
+# ---------------------------------------------------------------------------
 # Dispatcher
 # ---------------------------------------------------------------------------
 def dot_product_attention(q, k, v, *, causal: bool = False,
