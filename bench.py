@@ -31,6 +31,13 @@ A100_BASELINE_FPS = 1.2
 # benches the bf16 LLM instead, BENCH_INT4=1 the experimental int4 mode
 INT4 = os.environ.get("BENCH_INT4") == "1"
 INT8 = os.environ.get("BENCH_INT8", "1") == "1" and not INT4
+# BENCH_SPEC=K benches n-gram speculative decoding (draft_k=K). NOT the
+# default: with the bench's zero-init weights greedy decode degenerates to
+# a constant token, so the n-gram drafter accepts everything — the measured
+# speedup is the BEST case (~4.4x on decode at K=4), not a workload number.
+# Real-text speedup = average accepted drafts + 1 per step; outputs are
+# verified identical to plain greedy (tests/test_inference.py).
+SPEC = int(os.environ.get("BENCH_SPEC", "0") or 0)
 
 NUM_FRAMES = 16
 T_SAM = 8
@@ -88,7 +95,7 @@ def main():
             method=lambda mdl, a, b: mdl.encode_visual_prefix(a, b))
         gen = generate_with_prefix(
             model, params, visual, input_ids, text_lens,
-            max_new_tokens=MAX_NEW, eos_id=32000)
+            max_new_tokens=MAX_NEW, eos_id=32000, draft_k=SPEC)
         seg = extract_seg_from_generation(model, params, gen)
         sam_feats, _ = model.apply(
             params, frames_sam,
@@ -114,7 +121,8 @@ def main():
     print(json.dumps({
         "metric": "GCG frames/sec/chip (encode+decode+mask)"
                   + (" [int8 LLM]" if INT8 else
-                     " [int4 LLM]" if INT4 else ""),
+                     " [int4 LLM]" if INT4 else "")
+                  + (f" [spec-decode K={SPEC}, degenerate]" if SPEC else ""),
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 2),

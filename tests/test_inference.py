@@ -126,3 +126,37 @@ def test_pipeline_sharded_over_mesh(setup, mesh8):
                  batch["input_ids"], batch["text_lens"])
     np.testing.assert_array_equal(np.asarray(res.tokens),
                                   np.asarray(res0.tokens))
+
+
+def test_speculative_decode_matches_plain_greedy(setup):
+    """n-gram speculative decoding must produce EXACTLY the plain greedy
+    decode's tokens/lengths (verification discards any divergent draft) and
+    matching hidden states on valid positions — for both a never-hit and a
+    frequently-hit terminator, and for several draft depths."""
+    from videoglamm_tpu.inference.generate import generate_speculative
+
+    model, params, batch = setup
+    visual = model.apply(
+        params, batch["frames"], batch["context_images"],
+        method=lambda mdl, a, b: mdl.encode_visual_prefix(a, b))
+    visual = visual[batch["video_idx"]]
+    M = 12
+
+    for eos in (EOS, 99999):
+        ref = generate_with_prefix(
+            model, params, visual, batch["input_ids"], batch["text_lens"],
+            max_new_tokens=M, eos_id=eos)
+        for K in (2, 4):
+            got = generate_speculative(
+                model, params, visual, batch["input_ids"],
+                batch["text_lens"], max_new_tokens=M, eos_id=eos,
+                draft_k=K)
+            np.testing.assert_array_equal(np.asarray(got.tokens),
+                                          np.asarray(ref.tokens))
+            np.testing.assert_array_equal(np.asarray(got.lengths),
+                                          np.asarray(ref.lengths))
+            valid = (np.arange(M)[None, :, None]
+                     < np.asarray(ref.lengths)[:, None, None])
+            np.testing.assert_allclose(
+                np.asarray(got.hidden) * valid,
+                np.asarray(ref.hidden) * valid, atol=2e-4, rtol=2e-4)

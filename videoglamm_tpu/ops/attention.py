@@ -582,7 +582,7 @@ def _pick_group(H: int, Sp: int) -> int:
     static loop; measured: [16,640,2048] blocks at G=8 demanded 20.6M)."""
     for g in (8, 4, 2, 1):
         if H % g == 0 and \
-                8 * Sp * g * 128 * 2 + g * Sp * Sp * 4 <= (14 << 20):
+                8 * Sp * g * 128 * 2 + g * Sp * Sp * 4 <= (15 << 20) + (512 << 10):
             return g
     return 1
 
