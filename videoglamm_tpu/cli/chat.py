@@ -68,7 +68,8 @@ def main(argv=None):
     eos_id = terminators_for(model.cfg.llm_type, tokenizer)
     pipe = GroundedInference(model, params,
                              max_new_tokens=args.max_new_tokens,
-                             eos_id=eos_id)
+                             eos_id=eos_id,
+                             draft_k=args.draft_k)
     conv_gen = ConvGenerator(model.cfg.llm_type)
 
     is_image = args.media.lower().endswith((".jpg", ".jpeg", ".png", ".bmp"))

@@ -27,6 +27,10 @@ def add_model_args(p: argparse.ArgumentParser):
                    help="CLIP vision torch checkpoint dir")
     p.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--max_new_tokens", type=int, default=512)
+    p.add_argument("--draft_k", type=int, default=0,
+                   help="n-gram speculative decoding depth (>=2 enables; "
+                        "greedy outputs are identical, repetitive grounded "
+                        "captions decode faster)")
     p.add_argument("--use_sam2_video_branch", action="store_true")
     return p
 

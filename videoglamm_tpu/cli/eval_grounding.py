@@ -73,7 +73,8 @@ def main(argv=None):
     model, params = load_model(args)
     pipe = GroundedInference(model, params,
                              max_new_tokens=args.max_new_tokens,
-                             eos_id=terminators_for(model.cfg.llm_type, tokenizer))
+                             eos_id=terminators_for(model.cfg.llm_type, tokenizer),
+                             draft_k=args.draft_k)
     conv_gen = ConvGenerator(model.cfg.llm_type)
 
     anns = json.load(open(args.annotations))

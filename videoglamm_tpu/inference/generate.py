@@ -99,13 +99,16 @@ def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,
     make_cache = init_kv_cache if llm_type == "phi3" \
         else init_llama_kv_cache
     cache = make_cache(cfg, B, max_len, dtype=embeds.dtype)
-    logits, hidden_pre, cache = llm_apply(
-        "__call__", sp.embeds, sp.positions, sp.attn_lens, cache)
+    # prefill without lm_head: only the LAST position's logits are needed
+    # (projecting all ~3.4k positions through the 32k-vocab head costs
+    # ~3.5 ms at flagship scale)
+    hidden_pre, cache = llm_apply(
+        "forward_hidden", sp.embeds, sp.positions, sp.attn_lens, cache)
 
     # last valid prompt position -> first sampled token
     last_idx = sp.attn_lens - 1                               # [B]
     bidx = jnp.arange(B)
-    next_logits = logits[bidx, last_idx]                      # [B, vocab]
+    next_logits = llm_apply("head", hidden_pre[bidx, last_idx])  # [B, vocab]
 
     def sample(lg, key):
         if temperature > 0.0:
@@ -189,12 +192,12 @@ def generate_speculative(model, params, visual_prefix, input_ids, text_lens,
     make_cache = init_kv_cache if llm_type == "phi3" \
         else init_llama_kv_cache
     cache = make_cache(cfg, B, max_len, dtype=embeds.dtype)
-    logits, hidden_pre, cache = llm_apply(
-        "__call__", sp.embeds, sp.positions, sp.attn_lens, cache)
+    hidden_pre, cache = llm_apply(
+        "forward_hidden", sp.embeds, sp.positions, sp.attn_lens, cache)
 
     bidx = jnp.arange(B)
-    tok0 = jnp.argmax(logits[bidx, sp.attn_lens - 1], axis=-1
-                      ).astype(jnp.int32)
+    tok0 = jnp.argmax(llm_apply("head", hidden_pre[bidx, sp.attn_lens - 1]),
+                      axis=-1).astype(jnp.int32)
     D = hidden_pre.shape[-1]
     pos0 = sp.attn_lens                                        # [B]
 

@@ -57,7 +57,10 @@ class GroundedInference:
     """Jitted end-to-end grounded video chat / eval pipeline (framewise)."""
 
     def __init__(self, model, params, *, max_new_tokens: int = 128,
-                 eos_id=None, temperature: float = 0.0):
+                 eos_id=None, temperature: float = 0.0, draft_k: int = 0):
+        """draft_k >= 2 enables n-gram speculative decoding for greedy
+        generation (identical outputs, faster on repetitive grounded
+        captions — generate.generate_speculative)."""
         if eos_id is None:
             from .generate import terminators_for
             eos_id = terminators_for(getattr(model.cfg, "llm_type", "phi3"))
@@ -76,7 +79,7 @@ class GroundedInference:
         self._generate = jax.jit(functools.partial(
             generate_with_prefix, model,
             max_new_tokens=max_new_tokens, eos_id=eos_id,
-            temperature=temperature))
+            temperature=temperature, draft_k=draft_k))
         self._decode_masks = jax.jit(
             lambda p, feats, seg, vidx: model.apply(
                 p, feats, seg, vidx,

@@ -151,7 +151,8 @@ class LlamaForCausalLM(nn.Module):
         return self.embed_tokens(jnp.maximum(input_ids, 0))
 
     @nn.compact
-    def __call__(self, embeds, positions, kv_lens, cache=None):
+    def forward_hidden(self, embeds, positions, kv_lens, cache=None):
+        """Decoder without lm_head (see Phi3ForCausalLM.forward_hidden)."""
         cfg = self.cfg
         layer_cls = LlamaDecoderLayer
         if self.remat:
@@ -182,8 +183,14 @@ class LlamaForCausalLM(nn.Module):
             new_cache = None
 
         x = self.final_norm(x)
-        logits = self.lm_head(x)
-        return logits, x, new_cache
+        return x, new_cache
+
+    def head(self, hidden):
+        return self.lm_head(hidden)
+
+    def __call__(self, embeds, positions, kv_lens, cache=None):
+        x, new_cache = self.forward_hidden(embeds, positions, kv_lens, cache)
+        return self.lm_head(x), x, new_cache
 
     def forward_ids(self, input_ids, positions, kv_lens, cache=None):
         return self(self.embed(input_ids), positions, kv_lens, cache)

@@ -244,6 +244,15 @@ class Phi3ForCausalLM(nn.Module):
         logits = self.lm_head(hidden)
         return logits, hidden, new_cache
 
+    def forward_hidden(self, embeds, positions, kv_lens, cache=None):
+        """Decoder without lm_head — prefill only needs the LAST position's
+        logits; projecting all ~3.4k positions through the 32k-vocab head
+        costs ~3.5 ms at flagship scale."""
+        return self.model(embeds, positions, kv_lens, cache)
+
+    def head(self, hidden):
+        return self.lm_head(hidden)
+
     def forward_ids(self, input_ids, positions, kv_lens, cache=None):
         """Pure-text forward from token ids (also the init path: touches
         embed_tokens + decoder + lm_head)."""
