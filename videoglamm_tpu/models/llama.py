@@ -80,25 +80,16 @@ class LlamaDecoderLayer(nn.Module):
             kn = k.astype(cache_k.dtype)
             vn = v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
             starts = positions[:, 0]
-            if B == 1:
+            # per-row in-place slices, statically unrolled over the (small)
+            # batch — see phi3.py (the vmapped update materialized the
+            # whole layer slab per decode step)
+            for b in range(B):
                 cache_k = jax.lax.dynamic_update_slice(
-                    cache_k, kn[None], (layer_idx, 0, 0, starts[0], 0))
+                    cache_k, kn[None, b:b + 1],
+                    (layer_idx, b, 0, starts[b], 0))
                 cache_v = jax.lax.dynamic_update_slice(
-                    cache_v, vn[None], (layer_idx, 0, 0, starts[0], 0))
-            else:
-                def upd(c, n, p0):
-                    return jax.lax.dynamic_update_slice(c, n, (0, p0, 0))
-
-                slab_k = jax.vmap(upd)(
-                    jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0,
-                                                 keepdims=False), kn, starts)
-                slab_v = jax.vmap(upd)(
-                    jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
-                                                 keepdims=False), vn, starts)
-                cache_k = jax.lax.dynamic_update_slice_in_dim(
-                    cache_k, slab_k[None], layer_idx, 0)
-                cache_v = jax.lax.dynamic_update_slice_in_dim(
-                    cache_v, slab_v[None], layer_idx, 0)
+                    cache_v, vn[None, b:b + 1],
+                    (layer_idx, b, 0, starts[b], 0))
             k_att = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0,
                                                  keepdims=False)
             v_att = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
