@@ -765,8 +765,10 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     # softmax/block-padding overhead (measured v5e, scan-chained:
     # xla 1.65 / flash 1.88 / window 1.20 ms at [4,16,1025,88];
     # xla 1.91 / flash 3.90 / window 1.53 ms at [16,16,577,64])
+    # capped at 1536: above that the single-block f32 logits (padded Sp^2)
+    # alone exceed VMEM; 1537..2047 falls through to the XLA path
     if (not causal and kv_lens is None and q_start is None and Sq == Sk
-            and 512 < Sq < 2048):
+            and 512 < Sq <= 1536):
         return _window_attention(q, k, v, float(sm_scale))
     # long sequences: Pallas flash (causal 3456 prefill: 12.0 -> 3.4 ms;
     # non-causal 4096 Hiera globals: 4.6 -> 1.9 ms). Short/windowed shapes
