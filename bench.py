@@ -42,8 +42,13 @@ SPEC = int(os.environ.get("BENCH_SPEC", "0") or 0)
 # serving: decode weight-streaming amortizes over the batch — batch 2
 # measures 15.5 f/s/chip vs 13.7 single-stream). The default stays 1: the
 # reference protocol (and the vs_baseline estimate) is single-stream
-# batch-1 latency. Batch 4 OOMs 16GB HBM (4x 1.4GB KV cache).
+# batch-1 latency. With the int8 KV cache, batch 4 fits 16GB HBM.
 BATCH = int(os.environ.get("BENCH_BATCH", "1") or 1)
+# int8 KV cache is the serving DEFAULT alongside int8 weights (gated by
+# tests/test_int8_parity.py::test_int8_kv_cache_parity): halves the
+# ~1.3 GB/step decode cache stream and cache residency. BENCH_KV8=0
+# reverts to the bf16 cache.
+KV8 = os.environ.get("BENCH_KV8", "1") == "1"
 
 NUM_FRAMES = 16
 T_SAM = 8
@@ -64,7 +69,7 @@ def main():
 
     cfg = VideoGLaMMConfig.flagship()
     model = VideoGLaMM(cfg, dtype=jnp.bfloat16, quant_llm_int8=INT8,
-                       quant_llm_int4=INT4)
+                       quant_llm_int4=INT4, quant_kv_int8=KV8)
 
     ids = np.full((BATCH, S_TEXT), 5, np.int32)
     ids[:, 2] = IMAGE_TOKEN_INDEX
@@ -128,6 +133,7 @@ def main():
         "metric": "GCG frames/sec/chip (encode+decode+mask)"
                   + (" [int8 LLM]" if INT8 else
                      " [int4 LLM]" if INT4 else "")
+                  + (" [int8 KV]" if KV8 else "")
                   + (f" [spec-decode K={SPEC}, degenerate]" if SPEC else "")
                   + (f" [batch={BATCH} throughput mode]" if BATCH > 1 else ""),
         "value": round(fps, 2),

@@ -83,6 +83,57 @@ def test_int8_generation_and_mask_parity():
         assert inter / union >= 0.95, f"mask IoU {inter / union}"
 
 
+def test_int8_kv_cache_parity():
+    """int8 KV cache gate (same methodology as the weight gate): quantized
+    K/V storage must reproduce the bf16-cache generations and masks on the
+    tiny composite, both alone and combined with int8 weights (the serving
+    default combo)."""
+    from videoglamm_tpu.io.import_torch import quantize_videoglamm_llm
+
+    model = VideoGLaMM(CFG, dtype=jnp.float32)
+    rng = np.random.RandomState(2)
+    T, T_sam, S = CFG.num_frames, 2, 16
+    ims = CFG.internvideo.image_size
+    cls_ = CFG.clip.image_size
+    sam_s = CFG.sam2.image_size
+    ids = rng.randint(1, 400, size=(1, S)).astype(np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    batch = dict(
+        frames=jnp.asarray(rng.randn(1, T, ims, ims, 3), jnp.float32),
+        context_images=jnp.asarray(rng.randn(1, T, cls_, cls_, 3),
+                                   jnp.float32),
+        frames_sam=jnp.asarray(rng.randn(1, T_sam, sam_s, sam_s, 3),
+                               jnp.float32),
+        input_ids=jnp.asarray(ids),
+        text_lens=jnp.full((1,), S, jnp.int32),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), **batch,
+        labels=jnp.full_like(batch["input_ids"], -100),
+        video_idx=jnp.zeros((1,), jnp.int32),
+        gt_masks=jnp.zeros((1, CFG.max_seg_tokens, T_sam, 32, 32),
+                           jnp.float32))
+
+    tok_f, mask_f = _clip(model, params, batch)
+
+    kv_model = VideoGLaMM(CFG, dtype=jnp.float32, quant_kv_int8=True)
+    tok_kv, mask_kv = _clip(kv_model, params, batch)
+    agree = (tok_f == tok_kv).mean()
+    assert agree >= 0.9, f"token agreement (kv8) {agree}"
+    bf, bq = mask_f > 0, mask_kv > 0
+    assert (bf == bq).mean() >= 0.99, (bf == bq).mean()
+
+    # combined int8 weights + int8 KV (the bench serving default)
+    qparams = {"params": quantize_videoglamm_llm(params["params"])}
+    qmodel = VideoGLaMM(CFG, dtype=jnp.float32, quant_llm_int8=True,
+                        quant_kv_int8=True)
+    tok_q, mask_q = _clip(qmodel, qparams, batch)
+    agree = (tok_f == tok_q).mean()
+    assert agree >= 0.9, f"token agreement (w8+kv8) {agree}"
+    bq = mask_q > 0
+    assert (bf == bq).mean() >= 0.99, (bf == bq).mean()
+
+
 def test_int4_generation_and_mask_parity():
     """int4 is EXPERIMENTAL serving: looser gate than int8 (group-128
     4-bit), checked end-to-end on the tiny composite."""

@@ -67,6 +67,38 @@ def test_kv_cache_decode_matches_full(model_and_params):
                                atol=2e-4, rtol=2e-4)
 
 
+def test_int8_kv_cache_decode_close_to_full(model_and_params):
+    """Quantized (int8 per-token/head) KV cache decode tracks the full
+    forward within int8 quantization error (models/kvcache.py)."""
+    model, params = model_and_params
+    B, S = 2, 10
+    prefill = 6
+    ids = jax.random.randint(jax.random.PRNGKey(5), (B, S), 0, CFG.vocab_size)
+    embeds = model.apply(params, ids, method=Phi3ForCausalLM.embed)
+    positions = jnp.arange(S)[None].repeat(B, 0)
+    full_logits, _, _ = model.apply(params, embeds, positions,
+                                    jnp.full((B,), S, jnp.int32))
+
+    cache = init_kv_cache(CFG, B, max_len=16, dtype=jnp.float32,
+                          quant_kv=True)
+    assert cache["k"].dtype == jnp.int8 and "k_scale" in cache
+    lens = jnp.full((B,), prefill, jnp.int32)
+    logits_p, _, cache = model.apply(params, embeds[:, :prefill],
+                                     positions[:, :prefill], lens, cache)
+    step_logits = [np.asarray(logits_p)]
+    for t in range(prefill, S):
+        lens = lens + 1
+        lg, _, cache = model.apply(params, embeds[:, t:t + 1],
+                                   positions[:, t:t + 1], lens, cache)
+        step_logits.append(np.asarray(lg))
+    got = np.concatenate(step_logits, axis=1)
+    ref = np.asarray(full_logits)
+    # int8 K/V perturbs logits at the ~1% level on random activations
+    np.testing.assert_allclose(got, ref, atol=0.05, rtol=0.05)
+    # argmax (greedy decode) must agree almost everywhere
+    assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
+
+
 def test_phi3_matches_hf_transformers():
     """Golden parity: random tiny HF Phi3 -> import -> same logits."""
     import torch

@@ -242,6 +242,73 @@ def test_window_attention_interpret_matches_xla():
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_bshd_kernel_interpret_matches_xla():
+    """BSHD single-pass kernel (InternVideo2/CLIP/Hiera forward path) in
+    interpret mode vs the XLA einsum, incl. non-128-multiple S (padded-column
+    masking), head-grouping remainders (H=3 -> G=1, H=6 -> G=2), and
+    head_dim < 128 lane padding."""
+    from jax.experimental.pallas import tpu as pltpu
+    from videoglamm_tpu.ops.attention import (_attention_bshd_tpu,
+                                              _attention_xla_bshd)
+
+    rng = np.random.RandomState(7)
+    for (B, H, S, D) in [(2, 3, 256, 72), (1, 6, 577, 64), (1, 2, 130, 88),
+                         (1, 4, 1025, 88)]:
+        q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+        k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+        v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = _attention_bshd_tpu(q, k, v, D ** -0.5)
+        ref = _attention_xla_bshd(q, k, v, D ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"B={B} H={H} S={S} D={D}")
+
+
+def test_packed_qkv_kernel_interpret_matches_xla():
+    """Packed-qkv kernel in interpret mode vs the XLA einsum, incl. the
+    win > 0 block-diagonal mask (Hiera folded windows) and head grouping."""
+    from jax.experimental.pallas import tpu as pltpu
+    from videoglamm_tpu.ops.attention import (_packed_qkv_tpu,
+                                              _attention_xla_bshd)
+
+    rng = np.random.RandomState(8)
+    for (B, H, S, D, win) in [(2, 2, 256, 72, 0), (1, 4, 577, 64, 0),
+                              (1, 2, 512, 88, 128), (2, 3, 256, 64, 64)]:
+        qkv = jnp.asarray(rng.randn(B, S, 3 * H * D), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = _packed_qkv_tpu(qkv, H, D ** -0.5, win)
+        x = qkv.reshape(B, S, 3, H, D)
+        ref = _attention_xla_bshd(x[:, :, 0], x[:, :, 1], x[:, :, 2],
+                                  D ** -0.5, win)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"B={B} H={H} S={S} D={D} w={win}")
+
+
+def test_bshd_dispatch_head_dim_guard():
+    """Heads wider than one 128-lane tile must not hit the Pallas kernel —
+    the dispatchers fall back to XLA (ADVICE r2: silent truncation risk)."""
+    from videoglamm_tpu.ops.attention import (attention_bshd,
+                                              attention_packed_qkv,
+                                              _attention_xla_bshd)
+    rng = np.random.RandomState(9)
+    B, H, S, D = 1, 2, 256, 160   # D > 128
+    q = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, S, H, D), jnp.float32)
+    out = attention_bshd(q, k, v)
+    ref = _attention_xla_bshd(q, k, v, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    qkv = jnp.asarray(rng.randn(B, S, 3 * H * D), jnp.float32)
+    out = attention_packed_qkv(qkv, H)
+    x = qkv.reshape(B, S, 3, H, D)
+    ref = _attention_xla_bshd(x[:, :, 0], x[:, :, 1], x[:, :, 2], D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_flash_backward_interpret_matches_xla():
     """Pallas dq/dk/dv (interpret mode) vs jax.vjp through the XLA path,
     causal + kv_lens + prefill q_start, non-128-multiple shapes."""

@@ -32,6 +32,13 @@ def add_model_args(p: argparse.ArgumentParser):
                         "greedy outputs are identical, repetitive grounded "
                         "captions decode faster)")
     p.add_argument("--use_sam2_video_branch", action="store_true")
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int4"],
+                   help="weight-only quantized LLM serving (int8 is parity-"
+                        "gated, tests/test_int8_parity.py; default bf16/f32 "
+                        "for bit-faithful eval)")
+    p.add_argument("--kv_cache", default="bf16", choices=["bf16", "int8"],
+                   help="KV-cache storage (int8 halves decode cache traffic "
+                        "and residency; parity-gated)")
     return p
 
 
@@ -51,7 +58,12 @@ def load_model(args, cfg: Optional[VideoGLaMMConfig] = None):
 
     cfg = cfg or VideoGLaMMConfig.flagship()
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
-    model = VideoGLaMM(cfg, dtype=dtype)
+    quant = getattr(args, "quant", "none")
+    model = VideoGLaMM(cfg, dtype=dtype,
+                       quant_llm_int8=quant == "int8",
+                       quant_llm_int4=quant == "int4",
+                       quant_kv_int8=getattr(args, "kv_cache",
+                                             "bf16") == "int8")
 
     ckpt = args.checkpoint
     if os.path.exists(os.path.join(ckpt, "_METADATA")) or any(
@@ -77,6 +89,10 @@ def load_model(args, cfg: Optional[VideoGLaMMConfig] = None):
             clip_sd = torch.load(args.clip_ckpt, map_location="cpu")
         params = {"params": compose_videoglamm_params(sd, cfg, iv_sd,
                                                       clip_sd)}
+    if quant in ("int8", "int4"):
+        from ..io.import_torch import quantize_videoglamm_llm
+        params = {"params": quantize_videoglamm_llm(params["params"],
+                                                    mode=quant)}
     return model, params
 
 

@@ -98,7 +98,8 @@ def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,
 
     make_cache = init_kv_cache if llm_type == "phi3" \
         else init_llama_kv_cache
-    cache = make_cache(cfg, B, max_len, dtype=embeds.dtype)
+    cache = make_cache(cfg, B, max_len, dtype=embeds.dtype,
+                       quant_kv=getattr(model, "quant_kv_int8", False))
     # prefill without lm_head: only the LAST position's logits are needed
     # (projecting all ~3.4k positions through the 32k-vocab head costs
     # ~3.5 ms at flagship scale)
@@ -191,7 +192,8 @@ def generate_speculative(model, params, visual_prefix, input_ids, text_lens,
     sp = splice_visual_prefix(embeds, input_ids, visual_prefix, text_lens)
     make_cache = init_kv_cache if llm_type == "phi3" \
         else init_llama_kv_cache
-    cache = make_cache(cfg, B, max_len, dtype=embeds.dtype)
+    cache = make_cache(cfg, B, max_len, dtype=embeds.dtype,
+                       quant_kv=getattr(model, "quant_kv_int8", False))
     hidden_pre, cache = llm_apply(
         "forward_hidden", sp.embeds, sp.positions, sp.attn_lens, cache)
 

@@ -1,0 +1,97 @@
+"""Static-shape KV cache shared by the Phi-3 and Llama decoders.
+
+Layout: [L, B, Hkv, max_len, hd], attention-ready (no transpose between the
+cache and the attention op — a whole-cache transpose per layer per decode
+step costs ~1.4 GB/step of HBM traffic at flagship scale). The stacked
+leading L axis rides the layer-scan carry so per-layer updates stay tiny
+in-place dynamic slices.
+
+Optional int8 quantization (`quant_kv=True`): K/V are stored as per-token,
+per-head symmetric int8 with f32 scales ([L, B, Hkv, max_len]). Decode is
+HBM-bound — at flagship scale the bf16 cache streams ~1.3 GB per generated
+token next to 3.7 GB of int8 weights; int8 KV halves that stream and halves
+cache residency (batch-4 serving OOMed 16 GB HBM on 4x1.4 GB bf16 caches).
+Dequantization is expressed inline (convert * scale) so XLA fuses it into
+the attention dot's operand load — the cache streams from HBM as int8, the
+same fusion the int8 weight path relies on (ops/quant.py:dequant_matmul).
+
+The reference has no KV cache at all (decode recomputes the full prefix,
+/root/reference/VideoGLaMM/model/VideoGLaMM.py:789-806); quantized serving
+caches are a TPU-native addition, gated by the same parity methodology as
+int8 weights (tests/test_int8_parity.py).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def init_cache(num_layers: int, batch: int, num_kv_heads: int, max_len: int,
+               head_dim: int, dtype=jnp.bfloat16, quant_kv: bool = False):
+    shape = (num_layers, batch, num_kv_heads, max_len, head_dim)
+    if not quant_kv:
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    sshape = shape[:-1]
+    return {
+        "k": jnp.zeros(shape, jnp.int8),
+        "v": jnp.zeros(shape, jnp.int8),
+        "k_scale": jnp.zeros(sshape, jnp.float32),
+        "v_scale": jnp.zeros(sshape, jnp.float32),
+    }
+
+
+def _quantize(x):
+    """[B, H, S, hd] -> (int8 same shape, f32 [B, H, S]) per-token/head."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def update_and_fetch(cache, layer_idx, kn, vn, starts, compute_dtype):
+    """Write this block's K/V into the stacked cache and return the updated
+    cache plus this layer's attention-ready (dequantized) K/V slabs.
+
+    kn/vn: [B, Hkv, S, hd] (post-RoPE K, head-transposed V); starts: [B]
+    per-row write offsets (positions are contiguous per row). Writes are
+    per-row in-place dynamic slices, statically unrolled over the small
+    batch — a vmapped update materialized the whole layer slab per step
+    (batch-2 serving measured 11.75 vs 13.58 f/s/chip).
+    """
+    B = kn.shape[0]
+    quant = "k_scale" in cache
+
+    if quant:
+        kq, ks = _quantize(kn)
+        vq, vs = _quantize(vn)
+        writes = (("k", kq), ("v", vq), ("k_scale", ks), ("v_scale", vs))
+    else:
+        writes = (("k", kn.astype(cache["k"].dtype)),
+                  ("v", vn.astype(cache["v"].dtype)))
+
+    cache = dict(cache)
+    for name, val in writes:
+        buf = cache[name]
+        for b in range(B):
+            idx = (layer_idx, b, 0, starts[b]) + \
+                ((0,) if val.ndim == 4 else ())
+            buf = jax.lax.dynamic_update_slice(buf, val[None, b:b + 1], idx)
+        cache[name] = buf
+
+    k_att = jax.lax.dynamic_index_in_dim(cache["k"], layer_idx, 0,
+                                         keepdims=False)
+    v_att = jax.lax.dynamic_index_in_dim(cache["v"], layer_idx, 0,
+                                         keepdims=False)
+    if quant:
+        # inline dequant: XLA fuses convert*scale into the attention dot's
+        # operand load, so the cache streams from HBM as int8
+        ks_l = jax.lax.dynamic_index_in_dim(cache["k_scale"], layer_idx, 0,
+                                            keepdims=False)
+        vs_l = jax.lax.dynamic_index_in_dim(cache["v_scale"], layer_idx, 0,
+                                            keepdims=False)
+        k_att = k_att.astype(compute_dtype) * \
+            ks_l[..., None].astype(compute_dtype)
+        v_att = v_att.astype(compute_dtype) * \
+            vs_l[..., None].astype(compute_dtype)
+    return cache, k_att, v_att

@@ -18,6 +18,7 @@ import flax.linen as nn
 from ..config import LlamaConfig
 from ..ops import dot_product_attention
 from ..ops.rope import apply_rope, rope_cos_sin
+from . import kvcache
 from .common import Dense, RMSNorm
 
 
@@ -53,8 +54,7 @@ class LlamaDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, positions, cache_k, cache_v, kv_lens,
-                 layer_idx=None):
+    def __call__(self, x, positions, cache, kv_lens, layer_idx=None):
         cfg = self.cfg
         B, S, _ = x.shape
         nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -76,24 +76,10 @@ class LlamaDecoderLayer(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if cache_k is not None:
-            kn = k.astype(cache_k.dtype)
-            vn = v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
-            starts = positions[:, 0]
-            # per-row in-place slices, statically unrolled over the (small)
-            # batch — see phi3.py (the vmapped update materialized the
-            # whole layer slab per decode step)
-            for b in range(B):
-                cache_k = jax.lax.dynamic_update_slice(
-                    cache_k, kn[None, b:b + 1],
-                    (layer_idx, b, 0, starts[b], 0))
-                cache_v = jax.lax.dynamic_update_slice(
-                    cache_v, vn[None, b:b + 1],
-                    (layer_idx, b, 0, starts[b], 0))
-            k_att = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0,
-                                                 keepdims=False)
-            v_att = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
-                                                 keepdims=False)
+        if cache is not None:
+            cache, k_att, v_att = kvcache.update_and_fetch(
+                cache, layer_idx, k, v.transpose(0, 2, 1, 3),
+                positions[:, 0], self.dtype)
         else:
             k_att = k
             v_att = v.transpose(0, 2, 1, 3)
@@ -117,7 +103,7 @@ class LlamaDecoderLayer(nn.Module):
                    name="up_proj")(h)
         h = Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                   name="down_proj")(jax.nn.silu(gate) * up)
-        return x + h, cache_k, cache_v
+        return x + h, cache
 
 
 class LlamaForCausalLM(nn.Module):
@@ -154,18 +140,17 @@ class LlamaForCausalLM(nn.Module):
 
         if cache is not None:
             def body(mdl, carry, l):
-                y, ck, cv = carry
-                y, ck, cv = mdl(y, positions, ck, cv, kv_lens, l)
-                return (y, ck, cv), None
+                y, c = carry
+                y, c = mdl(y, positions, c, kv_lens, l)
+                return (y, c), None
             scan = nn.scan(body, variable_axes={"params": 0},
                            split_rngs={"params": True},
                            length=cfg.num_layers)
-            (x, nk, nv), _ = scan(layer, (embeds, cache["k"], cache["v"]),
-                                  jnp.arange(cfg.num_layers))
-            new_cache = {"k": nk, "v": nv}
+            (x, new_cache), _ = scan(layer, (embeds, cache),
+                                     jnp.arange(cfg.num_layers))
         else:
             def body(mdl, carry, xs):
-                y, _, _ = mdl(carry, positions, None, None, kv_lens)
+                y, _ = mdl(carry, positions, None, kv_lens)
                 return y, None
             scan = nn.scan(body, variable_axes={"params": 0},
                            split_rngs={"params": True},
@@ -188,6 +173,6 @@ class LlamaForCausalLM(nn.Module):
 
 
 def init_llama_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
-                        dtype=jnp.bfloat16):
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
-    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+                        dtype=jnp.bfloat16, quant_kv: bool = False):
+    return kvcache.init_cache(cfg.num_layers, batch, cfg.num_kv_heads,
+                              max_len, cfg.head_dim, dtype, quant_kv)

@@ -24,20 +24,20 @@ import flax.linen as nn
 from ..config import Phi3Config
 from ..ops import dot_product_attention
 from ..ops.rope import apply_rope, rope_cos_sin
+from . import kvcache
 from .common import Dense, QDense, QDense4, RMSNorm
 
 
 def init_kv_cache(cfg: Phi3Config, batch: int, max_len: int,
-                  extra_vocab: int = 0, dtype=jnp.bfloat16):
+                  extra_vocab: int = 0, dtype=jnp.bfloat16,
+                  quant_kv: bool = False):
     """Static-shape KV cache laid out attention-ready: [L, B, Hkv, max_len,
     hd] — updates are per-row dynamic slices and attention consumes the
     buffer with NO transpose (a whole-cache transpose per layer per decode
-    step costs ~1.4 GB/step of HBM traffic at flagship scale)."""
-    shape = (cfg.num_layers, batch, cfg.num_kv_heads, max_len, cfg.head_dim)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-    }
+    step costs ~1.4 GB/step of HBM traffic at flagship scale). quant_kv
+    stores K/V as int8 with per-token/head scales (models/kvcache.py)."""
+    return kvcache.init_cache(cfg.num_layers, batch, cfg.num_kv_heads,
+                              max_len, cfg.head_dim, dtype, quant_kv)
 
 
 class Phi3DecoderLayer(nn.Module):
@@ -63,16 +63,15 @@ class Phi3DecoderLayer(nn.Module):
         return Dense(features, use_bias=False, dtype=self.dtype, name=name)
 
     @nn.compact
-    def __call__(self, x, positions, cache_k, cache_v, kv_lens,
-                 layer_idx=None):
+    def __call__(self, x, positions, cache, kv_lens, layer_idx=None):
         """x: [B, S, D]; positions: [B, S]; kv_lens: [B] (total valid KV
-        after this block's tokens are appended); cache_k/v: the FULL stacked
-        [L, B, Hkv, C, hd] cache (or None) with `layer_idx` selecting this
-        layer's slab — stacked so the whole cache rides the scan carry and
-        updates stay tiny in-place dynamic slices instead of per-layer
+        after this block's tokens are appended); cache: the FULL stacked
+        [L, B, Hkv, C, hd] cache pytree (or None) with `layer_idx` selecting
+        this layer's slab — stacked so the whole cache rides the scan carry
+        and updates stay tiny in-place dynamic slices instead of per-layer
         xs->ys rematerializations (~1.4 GB/step at flagship scale).
 
-        Returns (y, new_cache_k, new_cache_v)."""
+        Returns (y, new_cache)."""
         cfg = self.cfg
         B, S, _ = x.shape
         nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -100,27 +99,13 @@ class Phi3DecoderLayer(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)                          # [B,nkv,S,hd]
 
-        if cache_k is not None:
+        if cache is not None:
             # positions are contiguous per row (arange for prefill, a single
             # slot for decode): write via in-place dynamic slices at each
             # row's start position — no scatter, no cache transpose
-            kn = k.astype(cache_k.dtype)                     # [B,nkv,S,hd]
-            vn = v.transpose(0, 2, 1, 3).astype(cache_v.dtype)
-            starts = positions[:, 0]
-            # per-row in-place slices, statically unrolled over the (small)
-            # batch — a vmapped update materialized the whole layer slab
-            # per step (batch-2 serving measured 11.75 vs 13.58 f/s/chip)
-            for b in range(B):
-                cache_k = jax.lax.dynamic_update_slice(
-                    cache_k, kn[None, b:b + 1],
-                    (layer_idx, b, 0, starts[b], 0))
-                cache_v = jax.lax.dynamic_update_slice(
-                    cache_v, vn[None, b:b + 1],
-                    (layer_idx, b, 0, starts[b], 0))
-            k_att = jax.lax.dynamic_index_in_dim(cache_k, layer_idx, 0,
-                                                 keepdims=False)
-            v_att = jax.lax.dynamic_index_in_dim(cache_v, layer_idx, 0,
-                                                 keepdims=False)
+            cache, k_att, v_att = kvcache.update_and_fetch(
+                cache, layer_idx, k, v.transpose(0, 2, 1, 3),
+                positions[:, 0], self.dtype)
         else:
             k_att = k
             v_att = v.transpose(0, 2, 1, 3)
@@ -143,7 +128,7 @@ class Phi3DecoderLayer(nn.Module):
         gate, up = jnp.split(gu, 2, axis=-1)
         h = jax.nn.silu(gate) * up
         h = self._proj(cfg.hidden_size, "down_proj")(h)
-        return x + h, cache_k, cache_v
+        return x + h, cache
 
 
 class Phi3Model(nn.Module):
@@ -173,17 +158,16 @@ class Phi3Model(nn.Module):
             # the stacked cache rides the CARRY: per-layer updates are tiny
             # in-place slices, not per-layer stacked-output materializations
             def body(mdl, carry, l):
-                y, ck, cv = carry
-                y, ck, cv = mdl(y, positions, ck, cv, kv_lens, l)
-                return (y, ck, cv), None
+                y, c = carry
+                y, c = mdl(y, positions, c, kv_lens, l)
+                return (y, c), None
             scan = nn.scan(body, variable_axes={"params": 0},
                            split_rngs={"params": True}, length=cfg.num_layers)
-            (x, nk, nv), _ = scan(layer, (embeds, cache["k"], cache["v"]),
-                                  jnp.arange(cfg.num_layers))
-            new_cache = {"k": nk, "v": nv}
+            (x, new_cache), _ = scan(layer, (embeds, cache),
+                                     jnp.arange(cfg.num_layers))
         else:
             def body(mdl, carry, xs):
-                y, _, _ = mdl(carry, positions, None, None, kv_lens)
+                y, _ = mdl(carry, positions, None, kv_lens)
                 return y, None
             scan = nn.scan(body, variable_axes={"params": 0},
                            split_rngs={"params": True}, length=cfg.num_layers)

@@ -109,6 +109,8 @@ class VideoGLaMM(nn.Module):
     lora_alpha: float = 16.0
     quant_llm_int8: bool = False  # weight-only int8 LLM serving mode
     quant_llm_int4: bool = False  # experimental int4 serving (group-128)
+    quant_kv_int8: bool = False   # int8 KV cache (decode HBM + residency;
+                                  # read by inference/generate.py)
 
     def setup(self):
         cfg = self.cfg

@@ -712,7 +712,10 @@ def attention_bshd(q, k, v, *, sm_scale: Optional[float] = None):
     B, S, H, D = q.shape
     if sm_scale is None:
         sm_scale = D ** -0.5
-    if jax.default_backend() == "tpu" and 128 <= S <= 1536:
+    # D <= 128 guard: the kernel maps head i to the static lane slice
+    # [i*128, (i+1)*128), so heads wider than one 128-lane tile would be
+    # silently truncated — oversized heads fall back to XLA.
+    if jax.default_backend() == "tpu" and 128 <= S <= 1536 and D <= 128:
         return _attention_bshd_tpu(q, k, v, float(sm_scale))
     return _attention_xla_bshd(q, k, v, sm_scale)
 
@@ -727,7 +730,8 @@ def attention_packed_qkv(qkv, num_heads: int, *,
     D = C3 // (3 * num_heads)
     if sm_scale is None:
         sm_scale = D ** -0.5
-    if jax.default_backend() == "tpu" and 128 <= S <= 1536:
+    # same D <= 128 guard as attention_bshd (one head = one lane tile)
+    if jax.default_backend() == "tpu" and 128 <= S <= 1536 and D <= 128:
         return _packed_qkv_tpu(qkv, num_heads, float(sm_scale), win)
     x = qkv.reshape(B, S, 3, num_heads, D)
     return _attention_xla_bshd(x[:, :, 0], x[:, :, 1], x[:, :, 2], sm_scale,
