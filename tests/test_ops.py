@@ -242,6 +242,25 @@ def test_window_attention_interpret_matches_xla():
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_patch_embed_im2col_matches_conv():
+    """Hiera 7x7/s4/p3 patch embed: the space-to-depth + matmul path must be
+    arithmetically identical to the overlapping conv (models/sam2/hiera.py)."""
+    from videoglamm_tpu.models.sam2.hiera import _patch_embed_im2col
+    rng = np.random.RandomState(11)
+    for H, W in [(64, 64), (32, 48)]:
+        x = jnp.asarray(rng.randn(2, H, W, 3), jnp.float32)
+        w = jnp.asarray(rng.randn(7, 7, 3, 24), jnp.float32)
+        b = jnp.asarray(rng.randn(24), jnp.float32)
+        got = _patch_embed_im2col(x, w, b)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (4, 4), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ref = ref + b
+        assert got.shape == (2, H // 4, W // 4, 24)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_bshd_kernel_interpret_matches_xla():
     """BSHD single-pass kernel (InternVideo2/CLIP/Hiera forward path) in
     interpret mode vs the XLA einsum, incl. non-128-multiple S (padded-column

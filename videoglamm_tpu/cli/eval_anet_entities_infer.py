@@ -5,8 +5,15 @@ Reference entry point: /root/reference/VideoGLaMM/eval_anet_entities_infer.py
 long clips are handled by segment-window frame sampling around each
 annotated timestamp; outputs per-phrase mask PNGs + boxes JSON.
 
-Annotations JSON: [{"vid", "frames_dir", "phrase", "timestamp_frac"
-(0..1 position in the clip), "segment": [s_frac, e_frac]}]
+Two input modes:
+- --annotations JSON: [{"vid", "frames_dir", "phrase", "segment":
+  [s_frac, e_frac]}] (pre-extracted frame dirs), or entries with
+  {"video": path, "timestamps": [s_sec, e_sec]} (raw videos, fps-scaled
+  windows like the reference's load_frames).
+- --official_reference + --official_split (+ --videos_root): the official
+  anet_entities_cleaned_class_thresh50_trainval.json / split-ids files,
+  converted in-process by data/anet_entities.py (reference parsing at
+  eval_anet_entities_infer.py:86-146).
 """
 from __future__ import annotations
 
@@ -36,9 +43,20 @@ def window_indices(n_frames: int, segment, num: int) -> np.ndarray:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_model_args(p)
-    p.add_argument("--annotations", required=True)
+    p.add_argument("--annotations", default=None)
+    p.add_argument("--official_reference", default=None,
+                   help="anet_entities_cleaned_class_thresh50_trainval.json")
+    p.add_argument("--official_split", default=None,
+                   help="split_ids_anet_entities.json")
+    p.add_argument("--split", default="validation")
+    p.add_argument("--videos_root", default=None,
+                   help="activitynet videos root (searched with the "
+                        "reference's subdir/extension order)")
     p.add_argument("--save_dir", required=True)
     args = p.parse_args(argv)
+    assert args.annotations or (args.official_reference
+                                and args.official_split), \
+        "pass --annotations or the official-format file pair"
 
     from PIL import Image
     from ..data.video_reader import load_frame_dir
@@ -52,14 +70,33 @@ def main(argv=None):
                              draft_k=args.draft_k)
     conv_gen = ConvGenerator(model.cfg.llm_type)
 
-    anns = json.load(open(args.annotations))
+    if args.annotations:
+        anns = json.load(open(args.annotations))
+    else:
+        from ..data.anet_entities import convert_official_annotations
+        anns = convert_official_annotations(
+            args.official_reference, args.official_split,
+            videos_root=args.videos_root, split=args.split,
+            skip_missing_videos=True)
+        print(f"[convert] {len(anns)} grounded phrases from the official "
+              f"{args.split} split")
     results = []
     for i, ann in enumerate(anns):
         try:
-            frames = load_frame_dir(ann["frames_dir"])
-            idx = window_indices(len(frames),
-                                 ann.get("segment", [0.0, 1.0]), NUM_FRAMES)
-            sampled = [frames[k] for k in idx]
+            if ann.get("video"):
+                from ..data.anet_entities import segment_frame_indices
+                from ..data.video_reader import VideoReader
+                vr = VideoReader(ann["video"])
+                idx = segment_frame_indices(len(vr), vr.fps or 25.0,
+                                            ann["timestamps"], NUM_FRAMES)
+                sampled = list(vr.get_batch([int(k) for k in idx]))
+                vr.close()
+            else:
+                frames = load_frame_dir(ann["frames_dir"])
+                idx = window_indices(len(frames),
+                                     ann.get("segment", [0.0, 1.0]),
+                                     NUM_FRAMES)
+                sampled = [frames[k] for k in idx]
             prompt = conv_gen.apply_for_chat(
                 f"Please segment {ann['phrase']} in this video.",
                 media="video")
@@ -83,8 +120,10 @@ def main(argv=None):
                 if tube[t].any():
                     boxes[int(fi)] = masks_to_boxes(
                         tube[t][None])[0].tolist()
-            results.append({"index": i, "phrase": ann["phrase"],
-                            "boxes": boxes})
+            results.append({
+                "index": i, "phrase": ann["phrase"], "boxes": boxes,
+                **{k: ann[k] for k in ("vid", "seg", "gt_box", "gt_frame")
+                   if k in ann}})
             print(f"[ok] {i}")
         except Exception as e:
             print(f"[skip] {i}: {e}")

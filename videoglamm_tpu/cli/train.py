@@ -19,6 +19,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -69,6 +70,18 @@ def main(argv=None):
     p.add_argument("--gcg_json", default=None)
     p.add_argument("--gcg_frames", default=None)
     p.add_argument("--refer_vos_root", default=None)
+    p.add_argument("--a2d_root", default=None,
+                   help="A2D-Sentences root (train source, reference "
+                        "refer_vos registry utils/refer_vos_dataset.py:25)")
+    p.add_argument("--a2d_ann", default=None,
+                   help="A2D single-frame train annotation JSON "
+                        "(defaults to <a2d_root>/a2d_sentences_single_frame"
+                        "_train_annotations.json)")
+    p.add_argument("--jhmdb_root", default=None,
+                   help="JHMDB-Sentences root (train source)")
+    p.add_argument("--jhmdb_ann", default=None,
+                   help="defaults to <jhmdb_root>/jhmdb_sentences_samples"
+                        "_metadata.json")
     p.add_argument("--reason_seg_root", default=None)
     p.add_argument("--vqa_json", default=None)
     p.add_argument("--vqa_media_root", default=None)
@@ -119,6 +132,22 @@ def main(argv=None):
     if args.refer_vos_root:
         specs.append(DatasetSpec(
             "refer_vos", ReferVOSDataset(args.refer_vos_root), 1.0))
+    if args.a2d_root:
+        from ..data.datasets import (A2DSentencesDataset,
+                                     ReferSentencesTrainDataset)
+        ann = args.a2d_ann or os.path.join(
+            args.a2d_root, "a2d_sentences_single_frame_train_annotations.json")
+        specs.append(DatasetSpec("a2d", ReferSentencesTrainDataset(
+            A2DSentencesDataset(args.a2d_root, ann),
+            num_frames_for_sam=args.num_frames_for_sam), 1.0))
+    if args.jhmdb_root:
+        from ..data.datasets import (JHMDBSentencesDataset,
+                                     ReferSentencesTrainDataset)
+        ann = args.jhmdb_ann or os.path.join(
+            args.jhmdb_root, "jhmdb_sentences_samples_metadata.json")
+        specs.append(DatasetSpec("jhmdb", ReferSentencesTrainDataset(
+            JHMDBSentencesDataset(args.jhmdb_root, ann),
+            num_frames_for_sam=args.num_frames_for_sam), 1.0))
     if args.reason_seg_root:
         specs.append(DatasetSpec(
             "reason_seg", ReasonSegDataset(args.reason_seg_root), 1.0))

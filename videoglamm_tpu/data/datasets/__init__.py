@@ -14,4 +14,5 @@ from .sem_seg import (CocoPartSegDataset, load_cocostuff_classes,
                       load_mapillary_classes)
 from .video_gcg_extra import (ANetEntitiesGCGDataset, ConcatDataset,
                               VidSTGHCSTVGGCGDataset, build_val_gcg)
-from .refer_eval import A2DSentencesDataset, JHMDBSentencesDataset
+from .refer_eval import (A2DSentencesDataset, JHMDBSentencesDataset,
+                         ReferSentencesTrainDataset)

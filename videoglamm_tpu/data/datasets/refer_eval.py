@@ -19,6 +19,11 @@ Both yield eval records:
   {frames: [T,H,W,3] uint8 list, caption, image_id,
    gt_mask: [H,W] bool (annotated frame), valid_index: int (position of
    the annotated frame in `frames`), frame_indices: [T]}
+
+`ReferSentencesTrainDataset` adapts either loader into a train source for
+the hybrid mixture (the reference registers a2d/jhmdb alongside
+ytvos/davis17 in its ReferVOS train registry,
+/root/reference/VideoGLaMM/utils/refer_vos_dataset.py:25,99-123).
 """
 from __future__ import annotations
 
@@ -88,6 +93,43 @@ class A2DSentencesDataset:
                     image_id=f"v_{video_id}_f_{frame_idx}_i_{instance_id}",
                     gt_mask=gt, valid_index=valid_index,
                     frame_indices=np.asarray(sel))
+
+
+class ReferSentencesTrainDataset:
+    """Train-source adapter over A2D/JHMDB-Sentences records.
+
+    One declarative-question conversation per text query (reference
+    refer_vos_dataset.py:44-57,140-152); only the annotated frame carries
+    supervision, so every SAM frame slot is pinned to it — the reference's
+    num_frames_for_sam=1 uniform sampling silently pairs the annotated
+    frame's mask with window frame 0 (refer_vos_dataset.py:170-177), a
+    mask/frame mismatch this redesign corrects rather than replicates.
+    """
+
+    def __init__(self, base, num_frames_for_sam: int = 4, seed: int = 0):
+        self.base = base
+        self.num_frames_for_sam = num_frames_for_sam
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx) -> Dict:
+        from .templates import ANSWER_LIST, VIDEO_QUESTION_LIST
+        rec = self.base[idx]
+        frames = rec["frames"]
+        gt = np.asarray(rec["gt_mask"], np.float32)
+        tube = np.zeros((1, len(frames)) + gt.shape, np.float32)
+        tube[0, rec["valid_index"]] = gt
+        q = self.rng.choice(VIDEO_QUESTION_LIST).format(
+            phrase=rec["caption"].lower())
+        a = self.rng.choice(ANSWER_LIST)
+        return dict(
+            frames=frames,
+            sources=[[{"from": "human", "value": q},
+                      {"from": "gpt", "value": a}]],
+            masks=[tube],
+            sam_frame_idx=[rec["valid_index"]] * self.num_frames_for_sam)
 
 
 class JHMDBSentencesDataset:

@@ -51,15 +51,28 @@ def _quantize(x):
 
 def update_and_fetch(cache, layer_idx, kn, vn, starts, compute_dtype):
     """Write this block's K/V into the stacked cache and return the updated
-    cache plus this layer's attention-ready (dequantized) K/V slabs.
+    cache plus this layer's attention-ready K/V slabs.
 
     kn/vn: [B, Hkv, S, hd] (post-RoPE K, head-transposed V); starts: [B]
     per-row write offsets (positions are contiguous per row). Writes are
     per-row in-place dynamic slices, statically unrolled over the small
     batch — a vmapped update materialized the whole layer slab per step
     (batch-2 serving measured 11.75 vs 13.58 f/s/chip).
+
+    Returns (cache, k_att, v_att, k_scale, v_scale). For a bf16 cache the
+    scales are None. For the int8 cache:
+    - decode (S == 1): k_att/v_att stay INT8 and the per-token/head scales
+      come back separately for the quant-aware attention path — a
+      dequantized bf16 copy of the whole cache per step is exactly the HBM
+      stream int8 KV exists to avoid, and `convert*scale` does NOT fuse
+      into an XLA dot operand (measured 12.78 vs 13.62 f/s/chip); the
+      scales instead fold into the logits (k, an output dim of QK^T) and
+      into the probs (v, pre-contraction) in ops/attention.py.
+    - prefill (S > 1): one dequantized bf16 slab is materialized so the
+      compute-bound prefill keeps its Pallas flash path (~27 MB/layer,
+      negligible next to the prefill matmuls).
     """
-    B = kn.shape[0]
+    B, _, S, _ = kn.shape
     quant = "k_scale" in cache
 
     if quant:
@@ -83,15 +96,17 @@ def update_and_fetch(cache, layer_idx, kn, vn, starts, compute_dtype):
                                          keepdims=False)
     v_att = jax.lax.dynamic_index_in_dim(cache["v"], layer_idx, 0,
                                          keepdims=False)
-    if quant:
-        # inline dequant: XLA fuses convert*scale into the attention dot's
-        # operand load, so the cache streams from HBM as int8
-        ks_l = jax.lax.dynamic_index_in_dim(cache["k_scale"], layer_idx, 0,
-                                            keepdims=False)
-        vs_l = jax.lax.dynamic_index_in_dim(cache["v_scale"], layer_idx, 0,
-                                            keepdims=False)
+    if not quant:
+        return cache, k_att, v_att, None, None
+
+    ks_l = jax.lax.dynamic_index_in_dim(cache["k_scale"], layer_idx, 0,
+                                        keepdims=False)
+    vs_l = jax.lax.dynamic_index_in_dim(cache["v_scale"], layer_idx, 0,
+                                        keepdims=False)
+    if S > 1:
         k_att = k_att.astype(compute_dtype) * \
             ks_l[..., None].astype(compute_dtype)
         v_att = v_att.astype(compute_dtype) * \
             vs_l[..., None].astype(compute_dtype)
-    return cache, k_att, v_att
+        return cache, k_att, v_att, None, None
+    return cache, k_att, v_att, ks_l, vs_l

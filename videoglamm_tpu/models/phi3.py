@@ -103,22 +103,27 @@ class Phi3DecoderLayer(nn.Module):
             # positions are contiguous per row (arange for prefill, a single
             # slot for decode): write via in-place dynamic slices at each
             # row's start position — no scatter, no cache transpose
-            cache, k_att, v_att = kvcache.update_and_fetch(
+            cache, k_att, v_att, k_scale, v_scale = kvcache.update_and_fetch(
                 cache, layer_idx, k, v.transpose(0, 2, 1, 3),
                 positions[:, 0], self.dtype)
         else:
             k_att = k
             v_att = v.transpose(0, 2, 1, 3)
+            k_scale = v_scale = None
 
         if nkv != nh:
             rep = nh // nkv
             k_att = jnp.repeat(k_att, rep, axis=1)
             v_att = jnp.repeat(v_att, rep, axis=1)
+            if k_scale is not None:
+                k_scale = jnp.repeat(k_scale, rep, axis=1)
+                v_scale = jnp.repeat(v_scale, rep, axis=1)
 
         # positions[:, 0] is the absolute KV position of the first query:
         # 0 for prefill / full forward (right-padded batches), pos for decode.
         o = dot_product_attention(q, k_att, v_att, causal=self.causal,
-                                  kv_lens=kv_lens, q_start=positions[:, 0])
+                                  kv_lens=kv_lens, q_start=positions[:, 0],
+                                  k_scale=k_scale, v_scale=v_scale)
         o = o.transpose(0, 2, 1, 3).reshape(B, S, nh * hd)
         o = self._proj(cfg.hidden_size, "o_proj")(o)
         x = x + o

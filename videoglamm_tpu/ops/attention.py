@@ -34,14 +34,27 @@ NEG_INF = -1e30
 def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
                    kv_lens: Optional[jax.Array], bias: Optional[jax.Array],
                    kv_mask: Optional[jax.Array] = None,
-                   q_start: Optional[jax.Array] = None):
+                   q_start: Optional[jax.Array] = None,
+                   k_scale: Optional[jax.Array] = None,
+                   v_scale: Optional[jax.Array] = None):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     # keep operands in their storage dtype with f32 accumulation: an
     # explicit astype(f32) materializes an upcast copy of the whole KV
-    # cache every decode step (~2.8 GB/step at flagship scale)
+    # cache every decode step (~2.8 GB/step at flagship scale).
+    #
+    # Quant-aware path (int8 KV cache, k_scale/v_scale [B, H, Sk]): k/v
+    # arrive as INT8 and their per-token/head scales are folded where they
+    # cost nothing — the K scale onto the logits (the KV position is an
+    # OUTPUT dim of QK^T) and the V scale onto the probs (pre-contraction).
+    # Dequantizing up front materializes a bf16 copy of the whole cache per
+    # decode step, un-doing the int8 stream (12.78 vs 13.62 f/s measured).
+    if k_scale is not None:
+        k = k.astype(q.dtype)  # fused into the dot's operand load
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * sm_scale
+    if k_scale is not None:
+        logits = logits * k_scale[:, :, None, :].astype(jnp.float32)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     if causal:
@@ -63,8 +76,14 @@ def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
     if kv_mask is not None:
         logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
-                     preferred_element_type=jnp.float32)
+    if v_scale is not None:
+        probs = probs * v_scale[:, :, None, :].astype(jnp.float32)
+        v = v.astype(q.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v,
+                         preferred_element_type=jnp.float32)
+    else:
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 
@@ -747,6 +766,8 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
                           bias: Optional[jax.Array] = None,
                           q_start: Optional[jax.Array] = None,
                           sm_scale: Optional[float] = None,
+                          k_scale: Optional[jax.Array] = None,
+                          v_scale: Optional[jax.Array] = None,
                           force_xla: bool = False):
     """Attention entrypoint used by all model stacks.
 
@@ -754,10 +775,17 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     XLA implementation on CPU, for biased/per-token-masked attention (small
     decoders + memory attention), and for short sequences where a fused XLA
     softmax wins. kv_mask: [B, Sk] bool — True = attendable.
+    k_scale/v_scale: [B, H, Sk] per-token/head dequant scales for an int8
+    KV cache (decode path; k/v arrive int8, scales fold into logits/probs).
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     on_tpu = jax.default_backend() == "tpu"
+    if k_scale is not None:
+        return _attention_xla(q, k, v, causal=causal, sm_scale=sm_scale,
+                              kv_lens=kv_lens, bias=bias, kv_mask=kv_mask,
+                              q_start=q_start, k_scale=k_scale,
+                              v_scale=v_scale)
     if force_xla or bias is not None or kv_mask is not None or not on_tpu:
         return _attention_xla(q, k, v, causal=causal, sm_scale=sm_scale,
                               kv_lens=kv_lens, bias=bias, kv_mask=kv_mask,
