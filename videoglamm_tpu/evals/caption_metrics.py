@@ -9,11 +9,16 @@ the published algorithms directly:
   al. 2015): n-grams 1..4, corpus document frequency over the reference
   captions, TF-IDF vectors, clipped cosine similarity per n, gaussian
   length penalty (sigma=6), x10 scaling.
-- `meteor` is the original exact+stem METEOR (Banerjee & Lavie 2005):
-  unigram alignment with Porter stemming (no WordNet synonym stage, which
-  needs the java jar's resources), F_mean = 10PR/(R+9P), fragmentation
-  penalty 0.5*(chunks/matches)^3. Scores track the jar closely but are
-  not bit-identical; treat cross-paper comparisons accordingly.
+- `meteor` is METEOR (Banerjee & Lavie 2005) with the official module
+  order exact -> stem -> synonym: unigram alignment with Porter stemming
+  and a WordNet synonym stage (nltk's wordnet corpus when installed, a
+  vendored common-caption-vocabulary table otherwise — extend via
+  register_synonyms), F_mean = 10PR/(R+9P), fragmentation penalty
+  0.5*(chunks/matches)^3. The synonym-stage deviation from exact+stem is
+  quantified in tests/test_evals.py::test_meteor_synonym_stage (a missed
+  synonym pair costs up to ~0.65 METEOR on a 3-token caption); without
+  the jar's exact WordNet snapshot scores track but are not
+  bit-identical — treat cross-paper comparisons accordingly.
 """
 from __future__ import annotations
 
@@ -117,20 +122,77 @@ def _stem_cached(w: str) -> str:
     return _STEM_CACHE[w]
 
 
+# Vendored fallback synonym pairs (common caption vocabulary) for when the
+# nltk WordNet corpus is not installed — the official METEOR jar's third
+# match stage uses WordNet synsets (reference scores via pycocoevalcap,
+# eval_gcg_metrics.py:400). Symmetric lookup; extend via register_synonyms.
+_SYNONYM_TABLE: Dict[str, set] = {}
+for _group in [
+    ("dog", "canine", "pup", "puppy"), ("cat", "feline", "kitten"),
+    ("person", "individual", "human"), ("man", "male", "guy"),
+    ("woman", "female", "lady"), ("child", "kid"), ("car", "automobile"),
+    ("bike", "bicycle"), ("street", "road"), ("photo", "picture", "image"),
+    ("big", "large"), ("small", "little"), ("fast", "quick", "speedy"),
+    ("happy", "glad"), ("begin", "start", "commence"), ("end", "finish"),
+    ("jump", "leap"), ("run", "sprint"), ("look", "watch"),
+    ("talk", "speak"), ("sofa", "couch"), ("tv", "television"),
+]:
+    for _w in _group:
+        _SYNONYM_TABLE.setdefault(_w, set()).update(
+            x for x in _group if x != _w)
+
+
+def register_synonyms(*groups) -> None:
+    """Add synonym groups to the fallback table (each group: iterable of
+    mutually-synonymous words)."""
+    for group in groups:
+        group = list(group)
+        for w in group:
+            _SYNONYM_TABLE.setdefault(w, set()).update(
+                x for x in group if x != w)
+            _SYN_CACHE.pop(w, None)
+
+
+_SYN_CACHE: Dict[str, frozenset] = {}
+
+
+def _synonyms(w: str) -> frozenset:
+    """WordNet synset lemmas when the nltk corpus is installed, the
+    vendored table otherwise."""
+    if w in _SYN_CACHE:
+        return _SYN_CACHE[w]
+    syns = set(_SYNONYM_TABLE.get(w, ()))
+    try:
+        from nltk.corpus import wordnet
+        for s in wordnet.synsets(w):
+            syns.update(l.name().lower().replace("_", " ")
+                        for l in s.lemmas())
+        syns.discard(w)
+    except Exception:
+        pass
+    _SYN_CACHE[w] = frozenset(syns)
+    return _SYN_CACHE[w]
+
+
 def _align(hyp: List[str], ref: List[str]) -> List[Tuple[int, int]]:
-    """Greedy two-stage unigram alignment: exact matches first, then
-    stem matches, each ref position used once."""
+    """Greedy three-stage unigram alignment: exact matches, then stem
+    matches, then synonym matches (the official METEOR module order:
+    exact -> stem -> synonym), each ref position used once."""
     used_h, used_r = set(), set()
     pairs = []
-    for stage in ("exact", "stem"):
+    for stage in ("exact", "stem", "synonym"):
         for i, hw in enumerate(hyp):
             if i in used_h:
                 continue
             for j, rw in enumerate(ref):
                 if j in used_r:
                     continue
-                ok = (hw == rw if stage == "exact"
-                      else _stem_cached(hw) == _stem_cached(rw))
+                if stage == "exact":
+                    ok = hw == rw
+                elif stage == "stem":
+                    ok = _stem_cached(hw) == _stem_cached(rw)
+                else:
+                    ok = rw in _synonyms(hw) or hw in _synonyms(rw)
                 if ok:
                     pairs.append((i, j))
                     used_h.add(i)

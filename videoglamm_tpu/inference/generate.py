@@ -19,6 +19,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.multimodal import splice_visual_prefix
 from ..models.llama import init_llama_kv_cache
@@ -145,6 +146,58 @@ def generate_with_prefix(model, params, visual_prefix, input_ids, text_lens,
     lengths = jnp.sum(~was_done.T, axis=1)
     return GenerateResult(tokens=tokens, hidden=hidden, lengths=lengths,
                           prefill_hidden=hidden_pre, prefill_len=sp.attn_lens)
+
+
+def ngram_replay_stats(tokens, draft_k: int) -> dict:
+    """Replay a REAL token stream through the n-gram drafter to measure the
+    true accept-rate speculative decoding would achieve on it.
+
+    Greedy verification emits exactly the plain-decode stream, so the
+    accepted-draft count per iteration is a pure function of the stream
+    itself: at each position, draft K-1 tokens with the same
+    most-recent-bigram rule as generate_speculative's draft_row and count
+    the longest prefix matching the actual continuation. tokens: 1-D int
+    sequence (e.g. a generated GCG caption). Returns
+    {iterations, tokens, accept_rate, tokens_per_iteration} —
+    tokens_per_iteration is the decode-pass reduction factor (each
+    iteration costs one weight-streaming forward regardless of K).
+    """
+    toks = [int(t) for t in np.asarray(tokens).reshape(-1)]
+    K = int(draft_k)
+    assert K >= 2
+    n = len(toks)
+    idx = 0          # index of last emitted token (position 0 given)
+    iters = 0
+    accepted = 0
+    while idx < n - 1:
+        # draft_row: most recent earlier occurrence of the current bigram
+        drafts = []
+        if idx >= 1:
+            a, b = toks[idx - 1], toks[idx]
+            for j in range(idx - 2, -1, -1):
+                if toks[j] == a and toks[j + 1] == b:
+                    drafts = toks[j + 2:j + 2 + (K - 1)]
+                    break
+        if not drafts:
+            drafts = [toks[idx]] * (K - 1)
+        drafts = (drafts + [toks[idx]] * (K - 1))[:K - 1]
+        n_acc = 0
+        for d, actual in zip(drafts, toks[idx + 1:idx + K]):
+            if d == actual:
+                n_acc += 1
+            else:
+                break
+        n_acc = min(n_acc, n - 1 - idx - 1)  # bonus token always emitted
+        idx += n_acc + 1
+        iters += 1
+        accepted += n_acc
+    emitted = idx
+    return {
+        "iterations": iters,
+        "tokens": emitted,
+        "accept_rate": accepted / max(iters * (K - 1), 1),
+        "tokens_per_iteration": emitted / max(iters, 1),
+    }
 
 
 def generate_speculative(model, params, visual_prefix, input_ids, text_lens,
