@@ -390,3 +390,32 @@ def test_int4_quant_roundtrip_and_matmul():
         got_k = np.asarray(_dequant4_matvec_pallas(x, packed, scales,
                                                    group=G))
     np.testing.assert_allclose(got_k, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_packed_padded_kernel_interpret_matches_xla():
+    """Head-prepadded packed-qkv kernel (Hiera super-window path) in
+    interpret mode vs the XLA einsum over the unpadded heads, incl. win>0
+    block-diagonal folding and the real-head-dim sm_scale."""
+    from jax.experimental.pallas import tpu as pltpu
+    from videoglamm_tpu.ops.attention import (_attention_xla_bshd,
+                                              _packed_padded_tpu)
+
+    rng = np.random.RandomState(14)
+    for (B, H, S, D, win) in [(4, 2, 512, 72, 64), (2, 4, 512, 72, 16),
+                              (1, 2, 256, 88, 0)]:
+        qkv = rng.randn(B, S, 3, H, D).astype(np.float32)
+        qkv_p = np.zeros((B, S, 3, H, 128), np.float32)
+        qkv_p[..., :D] = qkv
+        with pltpu.force_tpu_interpret_mode():
+            out = _packed_padded_tpu(
+                jnp.asarray(qkv_p.reshape(B, S, 3 * H * 128)), H,
+                D ** -0.5, win)
+        out = np.asarray(out).reshape(B, S, H, 128)
+        ref = _attention_xla_bshd(jnp.asarray(qkv[:, :, 0]),
+                                  jnp.asarray(qkv[:, :, 1]),
+                                  jnp.asarray(qkv[:, :, 2]),
+                                  D ** -0.5, win)
+        np.testing.assert_allclose(out[..., :D], np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5,
+                                   err_msg=f"{B},{H},{S},{D},{win}")
+        assert np.abs(out[..., D:]).max() == 0.0

@@ -151,6 +151,11 @@ def run(args) -> dict:
     from ..io.import_torch import quantize_videoglamm_llm
     from ..models import VideoGLaMM
 
+    # golden activation comparisons need true-f32 matmuls: the default
+    # matmul precision costs ~1e-2 max deltas on CPU/TPU (measured; the
+    # test conftest sets the same flag)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     report = {"stages": {}, "ok": True}
 
     cfg = (VideoGLaMMConfig.tiny(num_frames=4) if args.scale == "tiny"
@@ -322,9 +327,12 @@ def run(args) -> dict:
             sam.load_state_dict(sam_sd, strict=False)
             sam = sam.eval().float()
             E = cfg.sam2.image_size // 16
+            C = cfg.sam2.d_model
             pe = sam.sam_prompt_encoder
-            feat = rng.randn(1, cfg.sam2.d_model, E, E).astype(np.float32)
-            text = rng.randn(1, 1, cfg.sam2.d_model).astype(np.float32)
+            feat = rng.randn(1, C, E, E).astype(np.float32)
+            s0 = rng.randn(1, C // 8, 4 * E, 4 * E).astype(np.float32)
+            s1 = rng.randn(1, C // 4, 2 * E, 2 * E).astype(np.float32)
+            text = rng.randn(1, 1, C).astype(np.float32)
             with torch.no_grad():
                 sp, dn = pe(points=None, boxes=None, masks=None,
                             text_embeds=torch.from_numpy(text))
@@ -334,20 +342,25 @@ def run(args) -> dict:
                     sparse_prompt_embeddings=sp,
                     dense_prompt_embeddings=dn,
                     multimask_output=False, repeat_image=False,
-                    high_res_features=None)
+                    high_res_features=[torch.from_numpy(s0),
+                                       torch.from_numpy(s1)])
                 want = want.numpy()
             sp_j, dn_j = model.apply(
                 params, jnp.asarray(text),
                 method=lambda mdl, t: mdl.sam.sam_prompt_encoder(
                     points=None, text_embeds=t))
+            hrf = (jnp.asarray(s0.transpose(0, 2, 3, 1)),
+                   jnp.asarray(s1.transpose(0, 2, 3, 1)))
             dec = model.apply(
                 params, jnp.asarray(feat.transpose(0, 2, 3, 1)), sp_j, dn_j,
                 method=lambda mdl, f, s, d: mdl.sam.sam_mask_decoder(
                     f, mdl.sam.sam_prompt_encoder.get_dense_pe(), s, d,
-                    multimask_output=False, high_res_features=None,
+                    multimask_output=False, high_res_features=hrf,
                     training=False))
             check("sam2_mask_decoder", np.asarray(dec.masks), want)
     except Exception as e:
+        import traceback
+        traceback.print_exc()
         mod_reports["sam2_mask_decoder"] = {"skipped": str(e)}
         print(f"[modules] sam2_mask_decoder skipped: {e}")
 

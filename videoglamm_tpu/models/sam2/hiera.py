@@ -122,10 +122,93 @@ class PatchEmbed(nn.Module):
         return (out + b.astype(jnp.float32)).astype(self.dtype)
 
 
+class HeadPaddedQKV(nn.Module):
+    """Fused qkv projection emitting heads PRE-PADDED to 128 lanes: the
+    zero pad happens in the WEIGHTS ([in, 3*dim] -> [in, 3*H*128] scatter),
+    so the matmul itself writes the kernel-aligned layout and no activation
+    relayout ever materializes (the per-head 72 -> 128 activation pad was
+    what sank the round-2 super-window fold). Param tree matches Dense
+    ({kernel [in, 3*dim], bias [3*dim]}) for checkpoint compatibility."""
+    dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hd = self.dim // self.num_heads
+        H3 = 3 * self.num_heads
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[-1], 3 * self.dim), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (3 * self.dim,),
+                       jnp.float32)
+        kp = jnp.pad(k.reshape(x.shape[-1], H3, hd),
+                     ((0, 0), (0, 0), (0, 128 - hd)))
+        bp = jnp.pad(b.reshape(H3, hd), ((0, 0), (0, 128 - hd)))
+        y = jnp.einsum("...i,io->...o", x,
+                       kp.reshape(x.shape[-1], H3 * 128).astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y + bp.reshape(H3 * 128).astype(jnp.float32)
+                ).astype(self.dtype)
+
+
+class PadConsumingProj(nn.Module):
+    """Output projection consuming head-padded activations ([.., H*128]):
+    the weight rows at pad lanes are zero, so the padded layout feeds the
+    matmul directly. Param tree matches Dense ({kernel [H*hd, out]})."""
+    dim_in: int
+    num_heads: int
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hd = self.dim_in // self.num_heads
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.dim_in, self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        kp = jnp.pad(k.reshape(self.num_heads, hd, self.features),
+                     ((0, 0), (0, 128 - hd), (0, 0)))
+        y = jnp.einsum("...i,io->...o", x,
+                       kp.reshape(self.num_heads * 128,
+                                  self.features).astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y + b.astype(jnp.float32)).astype(self.dtype)
+
+
+import os as _os
+
+# folded super-window token target (kernel sweep knob; the block-diagonal
+# mask wastes FLOPs ∝ fold, so smaller targets trade MXU waste for more
+# programs)
+_SUPERWIN_TARGET = int(_os.environ.get("VIDEOGLAMM_SUPERWIN", "512"))
+# minimum window-token count for the head-padded kernel path; smaller
+# windows measured FASTER on the XLA route (v5e chained-block sweep, r3:
+# stage-1 64-token windows 1.40 ms XLA vs 1.51-1.72 padded at folds
+# 128/256/512; stage-4 0.503 XLA vs 0.517 padded — the block-diagonal
+# FLOP waste plus the 1.78x padded-projection bandwidth outweigh the
+# relayout savings below 256-token windows. Stage-3 (256-token windows,
+# fold 2) measured 0.559 padded vs 0.573 on the old per-window packed
+# kernel and keeps this path.)
+_SUPERWIN_MIN = int(_os.environ.get("VIDEOGLAMM_SUPERWIN_MIN", "256"))
+
+
+def _superwindow_fold(n_windows: int, win_tokens: int,
+                      target: int = 0) -> int:
+    """Windows folded per kernel program: largest divisor of n_windows
+    whose folded token count stays <= target."""
+    target = target or _SUPERWIN_TARGET
+    f = max(1, target // win_tokens)
+    while f > 1 and n_windows % f:
+        f -= 1
+    return f
+
+
 class MultiScaleAttention(nn.Module):
     dim_out: int
     num_heads: int
     q_pool: bool = False
+    window_size: int = 0   # caller's window size (0 = global)
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -133,27 +216,28 @@ class MultiScaleAttention(nn.Module):
         B, H, W, _ = x.shape
         nh = self.num_heads
         hd = self.dim_out // nh
-        qkv = Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
 
-        if not self.q_pool and H * W <= 1536:
-            # windowed blocks: qkv tokens feed the BSHD kernel straight
-            # from the projection (heads indexed by lane offset) — no
-            # [B,H,S,D] transposes, which measured 32% of a stage-3
-            # block's device time. Global-attention blocks (4096 tokens)
-            # stay on the flash path below.
-            # NOTE: folding the smaller windows (stage 1/2/4: 16/64 tokens)
-            # into block-diagonal 512-token super-windows was tried here
-            # (kernel supports win=) and REGRESSED SAM encode 240 -> 368 ms:
-            # at stage-1/2 token counts the per-head 72 -> 128 lane padding
-            # relayouts dwarf the attention win. Only the 256-token stage-3
-            # windows take the packed kernel.
-            from ...ops.attention import attention_packed_qkv
+        if not self.q_pool and 0 < self.window_size and H * W <= 1536 \
+                and hd <= 128 and H * W >= _SUPERWIN_MIN:
+            # windowed blocks (stages 1-4): head-padded projections fold
+            # small windows into <=512-token super-window programs with
+            # block-diagonal masking — one kernel launch per ~8 windows
+            # instead of per-window work, and ZERO activation relayouts
+            # (pads live in the weights). Stage-1 blocks measured
+            # 1.40 -> 0.80 ms with this path (scripts/bench_hiera_stages).
+            from ...ops.attention import attention_packed_qkv_padded
             S = H * W
-            if S >= 256:
-                o = attention_packed_qkv(qkv.reshape(B, S, 3 * nh * hd), nh)
-                o = o.reshape(B, H, W, nh * hd)
-                return Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
+            qkv = HeadPaddedQKV(self.dim_out, nh, dtype=self.dtype,
+                                name="qkv")(x)
+            f = _superwindow_fold(B, S)
+            q3 = qkv.reshape(B // f, f * S, 3 * nh * 128)
+            o = attention_packed_qkv_padded(q3, nh, hd,
+                                            win=S if f > 1 else 0)
+            o = o.reshape(B, H, W, nh * 128)
+            return PadConsumingProj(self.dim_out, nh, self.dim_out,
+                                    dtype=self.dtype, name="proj")(o)
 
+        qkv = Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, H * W, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.q_pool:
@@ -193,8 +277,8 @@ class MultiScaleBlock(nn.Module):
             x, pad_hw = window_partition(x, ws)
 
         x = MultiScaleAttention(self.dim_out, self.num_heads,
-                                q_pool=self.q_pool, dtype=self.dtype,
-                                name="attn")(x)
+                                q_pool=self.q_pool, window_size=ws,
+                                dtype=self.dtype, name="attn")(x)
         if self.q_pool:
             ws = ws // 2
             H, W = shortcut.shape[1], shortcut.shape[2]

@@ -722,6 +722,85 @@ def _packed_bwd_rule(num_heads, sm_scale, win, qkv, g):
 _packed_qkv_tpu.defvjp(_packed_fwd_rule, _packed_bwd_rule)
 
 
+@functools.partial(jax.jit, static_argnames=("num_heads", "sm_scale", "win"))
+def _packed_padded_fwd(qkv, *, num_heads, sm_scale, win):
+    """qkv already head-PADDED to 128 lanes per head ([B, S, 3*H*128],
+    q heads | k heads | v heads): the pad happened inside the projection
+    (zero-padded WEIGHT columns), so no activation relayout ever runs —
+    the earlier super-window fold regressed on exactly that per-head
+    72 -> 128 activation pad (models/sam2/hiera.py history)."""
+    B, S, C3 = qkv.shape
+    H = num_heads
+    assert C3 == 3 * H * 128, (C3, H)
+    Sp = _round_up(S, 128)
+    x = jnp.pad(qkv, ((0, 0), (0, Sp - S), (0, 0))) if Sp != S else qkv
+    G = _pick_group(H, Sp)
+    nh_blocks = H // G
+
+    def spec(off):
+        return pl.BlockSpec((1, Sp, G * 128), lambda b, h: (b, 0, off + h))
+
+    out = pl.pallas_call(
+        functools.partial(_bshd_kernel, sm_scale=sm_scale, s_valid=S, g=G,
+                          win=win),
+        grid=(B, nh_blocks),
+        in_specs=[spec(0), spec(nh_blocks), spec(2 * nh_blocks)],
+        out_specs=pl.BlockSpec((1, Sp, G * 128), lambda b, h: (b, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, H * 128), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+    )(x, x, x)
+    return out[:, :S]
+
+
+def _packed_padded_xla(qkv, num_heads, sm_scale, win):
+    B, S, C3 = qkv.shape
+    H = num_heads
+    x = qkv.reshape(B, S, 3, H, 128)
+    # zero pad lanes contribute nothing to q.k or p.v — same math as the
+    # unpadded heads
+    o = _attention_xla_bshd(x[:, :, 0], x[:, :, 1], x[:, :, 2], sm_scale,
+                            win)
+    return o.reshape(B, S, H * 128)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _packed_padded_tpu(qkv, num_heads, sm_scale, win):
+    return _packed_padded_fwd(qkv, num_heads=num_heads, sm_scale=sm_scale,
+                              win=win)
+
+
+def _packed_padded_fwd_rule(qkv, num_heads, sm_scale, win):
+    return _packed_padded_fwd(qkv, num_heads=num_heads, sm_scale=sm_scale,
+                              win=win), qkv
+
+
+def _packed_padded_bwd_rule(num_heads, sm_scale, win, qkv, g):
+    _, vjp = jax.vjp(
+        lambda q: _packed_padded_xla(q, num_heads, sm_scale, win), qkv)
+    return vjp(g)
+
+
+_packed_padded_tpu.defvjp(_packed_padded_fwd_rule, _packed_padded_bwd_rule)
+
+
+def attention_packed_qkv_padded(qkv, num_heads: int, head_dim: int, *,
+                                win: int = 0,
+                                sm_scale: Optional[float] = None):
+    """Self-attention over a head-prepadded fused qkv ([B, S, 3*H*128],
+    each head occupying a full 128-lane tile with zero pad lanes — produced
+    by zero-padding the PROJECTION weights, see hiera.HeadPaddedQKV).
+    Returns [B, S, H*128] (pad lanes zero). win > 0 = block-diagonal
+    attention over win-token windows folded along the token axis. sm_scale
+    defaults to head_dim**-0.5 (the REAL head dim, not 128)."""
+    B, S, _ = qkv.shape
+    if sm_scale is None:
+        sm_scale = head_dim ** -0.5
+    if jax.default_backend() == "tpu" and 128 <= S <= 1536:
+        return _packed_padded_tpu(qkv, num_heads, float(sm_scale), win)
+    return _packed_padded_xla(qkv, num_heads, float(sm_scale), win)
+
+
 def attention_bshd(q, k, v, *, sm_scale: Optional[float] = None):
     """Full (non-causal, unmasked) self-attention in [B, S, H, D] layout —
     the layout projections produce. q/k/v may be free reshapes of the
