@@ -44,8 +44,11 @@ def main():
 
     NUM_FRAMES, T_SAM, S_TEXT, MAX_NEW = 16, 8, 64, 64
 
+    import os
+    kv8 = os.environ.get("BENCH_KV8", "1") == "1"
     cfg = VideoGLaMMConfig.flagship()
-    model = VideoGLaMM(cfg, dtype=jnp.bfloat16, quant_llm_int8=int8)
+    model = VideoGLaMM(cfg, dtype=jnp.bfloat16, quant_llm_int8=int8,
+                       quant_kv_int8=kv8)
 
     ids = np.full((1, S_TEXT), 5, np.int32)
     ids[:, 2] = IMAGE_TOKEN_INDEX

@@ -144,6 +144,16 @@ def build_reference_sam2(cfg, seed: int = 0):
         multimask_min_pt_num=cfg.multimask_min_pt_num,
         multimask_max_pt_num=cfg.multimask_max_pt_num,
         use_mlp_for_obj_ptr_proj=cfg.use_mlp_for_obj_ptr_proj,
+        # the reference video-predictor build enables the eval-time dynamic
+        # multimask stability reselect via hydra overrides
+        # (build_sam.py:27-29); mirror the flax config so the [SEG] decode
+        # path (multimask_output=False) is oracle-comparable in eval mode
+        sam_mask_decoder_extra_args=dict(
+            dynamic_multimask_via_stability=cfg.dynamic_multimask_via_stability,
+            dynamic_multimask_stability_delta=
+            cfg.dynamic_multimask_stability_delta,
+            dynamic_multimask_stability_thresh=
+            cfg.dynamic_multimask_stability_thresh),
         compile_image_encoder=False)
     model.eval()
     # randomize zero-initialized embeddings so parity is meaningful

@@ -179,3 +179,25 @@ def test_eval_refer_infer_jhmdb_cli(tmp_path, monkeypatch, tiny_loadout):
     res = json.load(open(tmp_path / "out" / "results.json"))
     assert res["summary"]["n"] == 1
     assert res["records"][0]["image_id"] == "v_clipZ_f_3"
+
+
+def test_verify_parity_harness_synthetic(tmp_path):
+    """The real-weight parity harness end-to-end on synthetic structured-
+    random reference-layout checkpoints (VERDICT r2 weak #1: one command
+    from checkpoints to a pass/fail report). Asserts every stage reports
+    and the overall verdict is green."""
+    from videoglamm_tpu.cli import verify_parity as vp
+
+    rc = vp.main(["--synthetic", "--scale", "tiny",
+                  "--out_dir", str(tmp_path)])
+    report = json.load(open(tmp_path / "parity_report.json"))
+    assert rc == 0 and report["ok"], report
+    assert not report["stages"]["import"]["unmatched"]
+    mods = report["stages"]["modules"]
+    for name in ("phi3_logits", "text_hidden_fcs", "clip_features",
+                 "sam2_mask_decoder"):
+        assert mods[name].get("ok"), (name, mods[name])
+    assert report["stages"]["quant"]["int8"]["ok"]
+    # the synthetic checkpoint artifacts exist in the reference layouts
+    ck = tmp_path / "synthetic_ckpt"
+    assert (ck / "pytorch_model.bin").exists()

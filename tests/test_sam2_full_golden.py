@@ -99,3 +99,51 @@ def test_image_encoder_golden(models):
     for got, want in zip(feats, ref_fpn):
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
                                    rtol=2e-3)
+
+
+def test_mask_decoder_dynamic_stability_golden(models):
+    """Bare mask decoder in EVAL mode with multimask_output=False — the
+    composite's [SEG] decode path — incl. the dynamic multimask-stability
+    reselect (reference enables it via hydra overrides, build_sam.py:27-29;
+    round-3 harness found the oracle builder previously omitted the flag,
+    leaving this path oracle-untested)."""
+    import torch
+    ref, model, params = models
+    assert ref.sam_mask_decoder.dynamic_multimask_via_stability
+    E = CFG.image_size // 16
+    C = CFG.d_model
+    pe = ref.sam_prompt_encoder
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        feat = rng.randn(2, C, E, E).astype(np.float32)
+        s0 = rng.randn(2, C // 8, 4 * E, 4 * E).astype(np.float32)
+        s1 = rng.randn(2, C // 4, 2 * E, 2 * E).astype(np.float32)
+        text = rng.randn(2, 1, C).astype(np.float32)
+        with torch.no_grad():
+            sp, dn = pe(points=None, boxes=None, masks=None,
+                        text_embeds=torch.from_numpy(text))
+            want, want_iou, _, _ = ref.sam_mask_decoder(
+                image_embeddings=torch.from_numpy(feat),
+                image_pe=pe.get_dense_pe(),
+                sparse_prompt_embeddings=sp, dense_prompt_embeddings=dn,
+                multimask_output=False, repeat_image=False,
+                high_res_features=[torch.from_numpy(s0),
+                                   torch.from_numpy(s1)])
+        sp_j, dn_j = model.apply(
+            params, jnp.asarray(text),
+            method=lambda mdl, t: mdl.sam_prompt_encoder(
+                points=None, text_embeds=t))
+        hrf = (jnp.asarray(s0.transpose(0, 2, 3, 1)),
+               jnp.asarray(s1.transpose(0, 2, 3, 1)))
+        dec = model.apply(
+            params, jnp.asarray(feat.transpose(0, 2, 3, 1)), sp_j, dn_j,
+            method=lambda mdl, f, s, d: mdl.sam_mask_decoder(
+                f, mdl.sam_prompt_encoder.get_dense_pe(), s, d,
+                multimask_output=False, high_res_features=hrf,
+                training=False))
+        np.testing.assert_allclose(
+            np.asarray(dec.masks), want.detach().numpy(),
+            atol=5e-5, rtol=5e-5, err_msg=f"seed {seed}")
+        np.testing.assert_allclose(
+            np.asarray(dec.iou_pred), want_iou.detach().numpy(),
+            atol=5e-5, rtol=5e-5)
