@@ -40,6 +40,8 @@ def timeit(fn, *args, n=8):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--kv8", action="store_true",
+                    help="int8 KV cache (the serving default)")
     ap.add_argument("--tokens", type=int, default=32)
     ap.add_argument("--cache_len", type=int, default=3520)
     args = ap.parse_args()
@@ -63,9 +65,10 @@ def main():
     print(f"param bytes: {nbytes/1e9:.2f} GB "
           f"({'int8' if int8 else 'bf16'} mode)")
 
-    cache = init_kv_cache(cfg, B, C)
-    kv_bytes = cache["k"].nbytes + cache["v"].nbytes
-    print(f"kv cache bytes (C={C}): {kv_bytes/1e9:.2f} GB")
+    cache = init_kv_cache(cfg, B, C, quant_kv=args.kv8)
+    kv_bytes = sum(x.nbytes for x in cache.values())
+    print(f"kv cache bytes (C={C}): {kv_bytes/1e9:.2f} GB"
+          f" ({'int8' if args.kv8 else 'bf16'} kv)")
 
     # ---- full scan decode of N tokens under one jit --------------------
     N = args.tokens

@@ -39,7 +39,9 @@ def main():
                                                           jnp.floating)
                             else jnp.float32 if (int8 and s.ndim <= 2)
                             else jnp.bfloat16), shapes)
-    cache = init_kv_cache(cfg, B, C)
+    import os
+    cache = init_kv_cache(cfg, B, C,
+                          quant_kv=os.environ.get("BENCH_KV8", "1") == "1")
 
     def sync(x):
         float(jnp.asarray(jax.tree_util.tree_leaves(x)[0]).astype(

@@ -347,13 +347,23 @@ def _flash_bwd(q, k, v, kv_lens, q_start, out, lse, g, *, causal, sm_scale,
     """Blockwise recompute-style backward: dq over (q-block x k-block) with
     the k loop innermost; dk/dv with the q loop innermost. O(S) memory —
     logits are never materialized (reference capability:
-    model/llava/.../flash_attn_triton.py fwd+bwd)."""
+    model/llava/.../flash_attn_triton.py fwd+bwd).
+
+    Default blocks come from a bwd-specific sweep (v5e, flagship train
+    shape [2,32,3456,96] causal): the fwd-tuned 1152 cap OOMs scoped VMEM
+    for the bwd kernels (two f32 accumulators + 6 input blocks); measured
+    384x768 = 15.49 ms vs 512x512 16.26, 768x768 16.82, 384x384 16.92 —
+    small q blocks with fatter k blocks win (the dq kernel re-streams k/v
+    per q block; the dkv kernel amortizes its q sweep)."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
-    block_q = _pick_block(Sq) if block_q is None else \
+    block_q = _pick_block(Sq, cap=384) if block_q is None else \
         min(block_q, _round_up(Sq, 128))
-    block_k = _pick_block(Sk) if block_k is None else \
-        min(block_k, _round_up(Sk, 128))
+    if block_k is None:
+        block_k = 768 if _round_up(Sk, 768) <= 1.15 * Sk else \
+            _pick_block(Sk, cap=512)
+    else:
+        block_k = min(block_k, _round_up(Sk, 128))
     Dp = _round_up(D, 128)
     Sqp = _round_up(Sq, block_q)
     Skp = _round_up(Sk, block_k)
