@@ -349,12 +349,13 @@ def _flash_bwd(q, k, v, kv_lens, q_start, out, lse, g, *, causal, sm_scale,
     logits are never materialized (reference capability:
     model/llava/.../flash_attn_triton.py fwd+bwd).
 
-    Default blocks come from a bwd-specific sweep (v5e, flagship train
-    shape [2,32,3456,96] causal): the fwd-tuned 1152 cap OOMs scoped VMEM
-    for the bwd kernels (two f32 accumulators + 6 input blocks); measured
-    384x768 = 15.49 ms vs 512x512 16.26, 768x768 16.82, 384x384 16.92 —
-    small q blocks with fatter k blocks win (the dq kernel re-streams k/v
-    per q block; the dkv kernel amortizes its q sweep)."""
+    Default blocks are bwd-specific: the fwd-tuned 1152 cap OOMs scoped
+    VMEM for the bwd kernels (two f32 accumulators + 6 input blocks exceed
+    the 16 MB limit at the flagship train shape [2,32,3456,96] — a hard
+    compile failure, not a slowdown). Among legal sizes a v5e sweep at
+    that shape measured 384x768 fastest (15.5 ms vs 16.3-16.9 for
+    384/512/768 squares), though repeat runs show ±25% tunnel variance —
+    treat the ordering as indicative; the cap is the load-bearing part."""
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     block_q = _pick_block(Sq, cap=384) if block_q is None else \
