@@ -81,6 +81,43 @@ def test_flash_kernel_interpret_matches_xla():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_decode_attention_quant_interpret_matches_xla():
+    """Single-pass int8-KV decode kernel vs the XLA quant-aware path, in
+    interpret mode on CPU: MHA and GQA head grouping, ragged cache length
+    (C not a block multiple), per-row kv_lens, f32 and bf16 queries."""
+    from videoglamm_tpu.models.kvcache import _quantize
+    from videoglamm_tpu.ops.attention import decode_attention_quant
+
+    rng = np.random.RandomState(7)
+    for (B, Hq, Hkv, C, hd), dtype, tol in [
+            ((2, 4, 4, 300, 96), jnp.float32, 2e-5),   # MHA, ragged C
+            ((1, 8, 2, 700, 64), jnp.float32, 2e-5),   # GQA G=4, 2 blocks+rag
+            ((2, 8, 4, 160, 96), jnp.bfloat16, 2e-2),  # storage dtype, G=2
+    ]:
+        q = jnp.asarray(rng.randn(B, Hq, 1, hd), dtype)
+        kf = jnp.asarray(rng.randn(B, Hkv, C, hd), jnp.float32)
+        vf = jnp.asarray(rng.randn(B, Hkv, C, hd), jnp.float32)
+        kq, ks = _quantize(kf)
+        vq, vs = _quantize(vf)
+        # token-major flat cache layout ([B, C, Hkv*hd], models/kvcache.py)
+        kflat = jnp.transpose(kq, (0, 2, 1, 3)).reshape(B, C, Hkv * hd)
+        vflat = jnp.transpose(vq, (0, 2, 1, 3)).reshape(B, C, Hkv * hd)
+        kv_lens = jnp.asarray(
+            rng.randint(C // 2, C + 1, size=(B,)), jnp.int32)
+        out = decode_attention_quant(q, kflat, vflat, ks, vs, kv_lens,
+                                     sm_scale=hd ** -0.5, block_k=128,
+                                     interpret=True)
+        rep = Hq // Hkv
+        ref = _attention_xla(
+            q, jnp.repeat(kq, rep, axis=1), jnp.repeat(vq, rep, axis=1),
+            causal=False, sm_scale=hd ** -0.5, kv_lens=kv_lens, bias=None,
+            k_scale=jnp.repeat(ks, rep, axis=1),
+            v_scale=jnp.repeat(vs, rep, axis=1))
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=tol, rtol=tol)
+
+
 def test_rms_norm():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(4, 32), jnp.float32)

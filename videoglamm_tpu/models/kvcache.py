@@ -7,7 +7,10 @@ leading L axis rides the layer-scan carry so per-layer updates stay tiny
 in-place dynamic slices.
 
 Optional int8 quantization (`quant_kv=True`): K/V are stored as per-token,
-per-head symmetric int8 with f32 scales ([L, B, Hkv, max_len]). Decode is
+per-head symmetric int8 with f32 scales ([L, B, Hkv, max_len]) in a
+TOKEN-MAJOR flat layout ([L, B, max_len, Hkv*hd]) — one contiguous row per
+token, sized for the Pallas decode kernel's whole-row DMA blocks
+(ops/attention.py:decode_attention_quant). Decode is
 HBM-bound — at flagship scale the bf16 cache streams ~1.3 GB per generated
 token next to 3.7 GB of int8 weights; int8 KV halves that stream and halves
 cache residency (batch-4 serving OOMed 16 GB HBM on 4x1.4 GB bf16 caches).
@@ -31,10 +34,17 @@ def init_cache(num_layers: int, batch: int, num_kv_heads: int, max_len: int,
     shape = (num_layers, batch, num_kv_heads, max_len, head_dim)
     if not quant_kv:
         return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+    # int8 K/V are TOKEN-MAJOR flat ([L, B, C, Hkv*hd]): the Pallas decode
+    # kernel (ops/attention.py:decode_attention_quant) streams whole-token
+    # rows as one contiguous DMA block per grid step — a head-major layout
+    # forces a (B, Hkv, nk) grid of tiny programs whose per-step fixed cost
+    # dominates (measured 11.18 vs 8.29 ms/token at flagship scale).
+    # Decode writes also become a single contiguous row per token.
+    flat = (num_layers, batch, max_len, num_kv_heads * head_dim)
     sshape = shape[:-1]
     return {
-        "k": jnp.zeros(shape, jnp.int8),
-        "v": jnp.zeros(shape, jnp.int8),
+        "k": jnp.zeros(flat, jnp.int8),
+        "v": jnp.zeros(flat, jnp.int8),
         "k_scale": jnp.zeros(sshape, jnp.float32),
         "v_scale": jnp.zeros(sshape, jnp.float32),
     }
@@ -72,23 +82,30 @@ def update_and_fetch(cache, layer_idx, kn, vn, starts, compute_dtype):
       compute-bound prefill keeps its Pallas flash path (~27 MB/layer,
       negligible next to the prefill matmuls).
     """
-    B, _, S, _ = kn.shape
+    B, Hkv, S, hd = kn.shape
     quant = "k_scale" in cache
 
     if quant:
         kq, ks = _quantize(kn)
         vq, vs = _quantize(vn)
-        writes = (("k", kq), ("v", vq), ("k_scale", ks), ("v_scale", vs))
+        # token-major flat rows for the int8 cache ([B, S, Hkv*hd]); at
+        # decode (S == 1) the transpose is free and the write is one
+        # contiguous row per batch element
+        kq = kq.transpose(0, 2, 1, 3).reshape(B, S, Hkv * hd)
+        vq = vq.transpose(0, 2, 1, 3).reshape(B, S, Hkv * hd)
+        writes = (("k", kq, "tok"), ("v", vq, "tok"),
+                  ("k_scale", ks, "sc"), ("v_scale", vs, "sc"))
     else:
-        writes = (("k", kn.astype(cache["k"].dtype)),
-                  ("v", vn.astype(cache["v"].dtype)))
+        writes = (("k", kn.astype(cache["k"].dtype), "head"),
+                  ("v", vn.astype(cache["v"].dtype), "head"))
 
     cache = dict(cache)
-    for name, val in writes:
+    for name, val, kind in writes:
         buf = cache[name]
         for b in range(B):
-            idx = (layer_idx, b, 0, starts[b]) + \
-                ((0,) if val.ndim == 4 else ())
+            idx = {"head": (layer_idx, b, 0, starts[b], 0),
+                   "tok": (layer_idx, b, starts[b], 0),
+                   "sc": (layer_idx, b, 0, starts[b])}[kind]
             buf = jax.lax.dynamic_update_slice(buf, val[None, b:b + 1], idx)
         cache[name] = buf
 
@@ -104,9 +121,14 @@ def update_and_fetch(cache, layer_idx, kn, vn, starts, compute_dtype):
     vs_l = jax.lax.dynamic_index_in_dim(cache["v_scale"], layer_idx, 0,
                                         keepdims=False)
     if S > 1:
-        k_att = k_att.astype(compute_dtype) * \
-            ks_l[..., None].astype(compute_dtype)
-        v_att = v_att.astype(compute_dtype) * \
-            vs_l[..., None].astype(compute_dtype)
+        # prefill: materialize one dequantized head-major bf16 slab so the
+        # compute-bound prefill keeps its Pallas flash path
+        C = k_att.shape[1]
+        k_att = k_att.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3).astype(
+            compute_dtype) * ks_l[..., None].astype(compute_dtype)
+        v_att = v_att.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3).astype(
+            compute_dtype) * vs_l[..., None].astype(compute_dtype)
         return cache, k_att, v_att, None, None
+    # decode: K/V stay int8 token-major flat ([B, C, Hkv*hd]) with their
+    # scales — consumed by ops/attention.decode_attention_quant
     return cache, k_att, v_att, ks_l, vs_l

@@ -111,13 +111,13 @@ class Phi3DecoderLayer(nn.Module):
             v_att = v.transpose(0, 2, 1, 3)
             k_scale = v_scale = None
 
-        if nkv != nh:
+        # GQA: the int8-cache (k_scale) path passes k/v UNREPEATED — the
+        # dispatcher handles grouping (natively in the Pallas decode kernel,
+        # so no repeated copy of the cache is ever materialized per step)
+        if nkv != nh and k_scale is None:
             rep = nh // nkv
             k_att = jnp.repeat(k_att, rep, axis=1)
             v_att = jnp.repeat(v_att, rep, axis=1)
-            if k_scale is not None:
-                k_scale = jnp.repeat(k_scale, rep, axis=1)
-                v_scale = jnp.repeat(v_scale, rep, axis=1)
 
         # positions[:, 0] is the absolute KV position of the first query:
         # 0 for prefill / full forward (right-padded batches), pos for decode.

@@ -848,6 +848,191 @@ def attention_packed_qkv(qkv, num_heads: int, *,
 
 
 # ---------------------------------------------------------------------------
+# Single-pass decode attention over the int8 KV cache
+# ---------------------------------------------------------------------------
+# Decode (Sq == 1) is pure HBM streaming: the XLA quant-aware path issues
+# q.K^T and probs.V as two separate fusions that each re-derive operands from
+# the int8 cache, measured at 374 / 260 GB/s (xprof leaf attribution, v5e) —
+# one-third to one-half of the ~740 GB/s the int8 weight matvecs in the same
+# step sustain. This kernel streams each K/V block from HBM exactly once and
+# does logits -> online softmax -> V contraction in one program, with the
+# per-token/head dequant scales folded where they cost nothing (K scale onto
+# the logits, V scale onto the probs — same algebra as _attention_xla). GQA
+# is native: the G = Hq//Hkv query heads of a KV head ride the sublane axis
+# of one program, so Llama's decode no longer materializes a jnp.repeat'd
+# copy of the int8 cache every step. Blocks past kv_len are clamped to the
+# last live block in the index maps (consecutive identical indices elide the
+# DMA) and skipped in compute.
+#
+# Reference has no decode cache at all (full-prefix recompute each token,
+# /root/reference/VideoGLaMM/model/VideoGLaMM.py:789-806).
+def _decode_group_plan(Hkv: int, hd: int) -> Optional[int]:
+    """Heads per in-kernel group: the largest divisor of Hkv whose column
+    span (heads * hd) is lane-aligned and <= 1024 (bounds the dense
+    block-diagonal FLOP waste and the per-group bf16 operand temp)."""
+    for hpg in sorted((d for d in range(1, Hkv + 1) if Hkv % d == 0),
+                      reverse=True):
+        if hpg * hd <= 1024 and (hpg * hd) % 128 == 0:
+            return hpg
+    return None
+
+
+def _decode_q_kernel(kvlen_ref, qbd_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
+                     acc_ref, m_ref, l_ref, *, sm_scale: float, block_k: int,
+                     heads_pg: int, G: int, hd: int):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nk = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    kv_len = kvlen_ref[b]
+    k_start = j * block_k
+
+    @pl.when(k_start < kv_len)
+    def _compute():
+        qbd = qbd_ref[0]                                 # [Hq, HD] blockdiag
+        k = k_ref[0]                                     # [bk, HD] int8
+        v = v_ref[0]
+        Hq = qbd.shape[0]
+        rows, cols = heads_pg * G, heads_pg * hd
+        n_groups = Hq // rows
+
+        # logits: one [rows, cols] x [bk, cols]^T MXU dot per head group.
+        # qbd rows are zero outside their own head's hd-column block, so the
+        # dense dot computes exactly the per-head matvecs (the wasted
+        # cross-head FLOPs are free — decode is HBM-bound, the MXU is idle).
+        parts = []
+        for g in range(n_groups):
+            rg = slice(g * rows, (g + 1) * rows)
+            cg = slice(g * cols, (g + 1) * cols)
+            parts.append(jax.lax.dot_general(
+                qbd[rg, cg], k[:, cg].astype(qbd.dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        s = (parts[0] if n_groups == 1 else
+             jnp.concatenate(parts, axis=0)) * sm_scale  # [Hq, bk] f32
+
+        ks = ks_ref[0]                                   # [Hkv, bk]
+        vs = vs_ref[0]
+        if G > 1:
+            ks = jnp.repeat(ks, G, axis=0)               # [Hq, bk]
+            vs = jnp.repeat(vs, G, axis=0)
+        s = s * ks
+        col = k_start + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)                  # [1, bk]
+        live = col < kv_len
+        s = jnp.where(live, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)                           # [Hq, bk] f32
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:] = jnp.broadcast_to(
+            alpha * l_ref[:, 0:1] + jnp.sum(p, axis=1, keepdims=True),
+            l_ref.shape)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+        pb = (p * jnp.where(live, vs, 0.0)).astype(qbd.dtype)
+        # per-group dense probs.V, then extract each row's own head block
+        # (row r belongs to local head r // G). Pure 2D lane-slices + masked
+        # adds — a [rows, heads_pg, hd] reshape is a lane-dim split Mosaic
+        # can't lay out for hd % 128 != 0
+        row_lh = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0) // G
+        outs = []
+        for g in range(n_groups):
+            rg = slice(g * rows, (g + 1) * rows)
+            cg = slice(g * cols, (g + 1) * cols)
+            pv = jax.lax.dot_general(pb[rg], v[:, cg].astype(qbd.dtype),
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            o_g = jnp.zeros((rows, hd), jnp.float32)
+            for lh in range(heads_pg):
+                o_g = o_g + jnp.where(row_lh == lh,
+                                      pv[:, lh * hd:(lh + 1) * hd], 0.0)
+            outs.append(o_g)
+        pv_all = outs[0] if n_groups == 1 else jnp.concatenate(outs, axis=0)
+        acc_ref[:] = acc_ref[:] * alpha + pv_all
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        o_ref[0] = (acc_ref[:] / jnp.where(l == 0.0, 1.0, l)).astype(
+            o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_k",
+                                             "interpret"))
+def decode_attention_quant(q, k, v, k_scale, v_scale, kv_lens, *,
+                           sm_scale: float, block_k: int = 512,
+                           interpret: bool = False):
+    """q: [B, Hq, 1, hd] (Hq = G * Hkv, grouped-query order: q head i reads
+    kv head i // G); k/v: TOKEN-MAJOR flat int8 [B, C, Hkv*hd];
+    k_scale/v_scale: [B, Hkv, C] f32; kv_lens: [B].
+    Returns [B, Hq, 1, hd] in q.dtype. Caller must check
+    _decode_group_plan(Hkv, hd) is not None before dispatching here."""
+    B, Hq, _, hd = q.shape
+    Hkv, C = k_scale.shape[1], k.shape[1]
+    HD = Hkv * hd
+    G = Hq // Hkv
+    heads_pg = _decode_group_plan(Hkv, hd)
+    bk = min(block_k, _round_up(C, 128))
+    nk = (C + bk - 1) // bk
+    kv_lens = kv_lens.astype(jnp.int32)
+
+    # block-diagonal query [B, Hq, Hkv*hd]: row i carries q head i in the
+    # hd-column block of kv head i // G, zeros elsewhere (tiny: ~200 KB at
+    # flagship scale, built once per step outside the kernel)
+    sel = (jnp.arange(Hq)[:, None] // G == jnp.arange(Hkv)[None, :])
+    qbd = (q[:, :, 0, None, :] * sel[None, :, :, None].astype(q.dtype)
+           ).reshape(B, Hq, HD)
+
+    def _clamp(j, kvl, b):
+        # last live block = ceil(kvl/bk) - 1; lax.div (truncating) instead of
+        # Python // — floor-div's sign-correction ops don't lower in TPU
+        # index maps, and operands here are non-negative. Blocks past kv_len
+        # re-map to the last live block (consecutive identical indices elide
+        # the DMA) and their compute is skipped.
+        last = jax.lax.div(jnp.maximum(kvl[b], 1) - 1, jnp.int32(bk))
+        return jnp.minimum(j, last)
+
+    kv_map = lambda b, j, kvl: (b, _clamp(j, kvl, b), 0)
+    sc_map = lambda b, j, kvl: (b, 0, _clamp(j, kvl, b))
+
+    out = pl.pallas_call(
+        functools.partial(_decode_q_kernel, sm_scale=float(sm_scale),
+                          block_k=bk, heads_pg=heads_pg, G=G, hd=hd),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nk),
+            in_specs=[
+                pl.BlockSpec((1, Hq, HD), lambda b, j, kvl: (b, 0, 0)),
+                pl.BlockSpec((1, bk, HD), kv_map),
+                pl.BlockSpec((1, bk, HD), kv_map),
+                pl.BlockSpec((1, Hkv, bk), sc_map),
+                pl.BlockSpec((1, Hkv, bk), sc_map),
+            ],
+            out_specs=pl.BlockSpec((1, Hq, hd), lambda b, j, kvl: (b, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((Hq, hd), jnp.float32),
+                pltpu.VMEM((Hq, 128), jnp.float32),
+                pltpu.VMEM((Hq, 128), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(kv_lens, qbd, k, v, k_scale, v_scale)
+
+    return out[:, :, None, :]
+
+
+# ---------------------------------------------------------------------------
 # Dispatcher
 # ---------------------------------------------------------------------------
 def dot_product_attention(q, k, v, *, causal: bool = False,
@@ -872,6 +1057,32 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
         sm_scale = q.shape[-1] ** -0.5
     on_tpu = jax.default_backend() == "tpu"
     if k_scale is not None:
+        # int8 KV cache: k/v arrive TOKEN-MAJOR flat ([B, C, Hkv*hd],
+        # models/kvcache.py) and UNREPEATED — GQA is handled here, natively
+        # in the Pallas kernel or by a repeat on the XLA fallback. Sq == 1
+        # decode with causal + q_start == kv_len-1 reduces to the kv_lens
+        # mask the kernel applies.
+        import os
+        B, Hq, Sq_, hd = q.shape
+        Hkv, C = k_scale.shape[1], k.shape[1]
+        if (on_tpu and Sq_ == 1 and bias is None and kv_mask is None
+                and kv_lens is not None
+                and _decode_group_plan(Hkv, hd) is not None
+                and os.environ.get("VGT_DECODE_KERNEL", "1") == "1"):
+            return decode_attention_quant(
+                q, k, v, k_scale, v_scale, kv_lens,
+                sm_scale=float(sm_scale),
+                block_k=int(os.environ.get("VGT_DECODE_BK", "512")))
+        # fallback (CPU tests / unplannable head geometry): reconstruct the
+        # head-major int8 views and run the fused-scale XLA path
+        k = k.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3)
+        if Hq != Hkv:
+            rep = Hq // Hkv
+            k = jnp.repeat(k, rep, axis=1)
+            v = jnp.repeat(v, rep, axis=1)
+            k_scale = jnp.repeat(k_scale, rep, axis=1)
+            v_scale = jnp.repeat(v_scale, rep, axis=1)
         return _attention_xla(q, k, v, causal=causal, sm_scale=sm_scale,
                               kv_lens=kv_lens, bias=bias, kv_mask=kv_mask,
                               q_start=q_start, k_scale=k_scale,
