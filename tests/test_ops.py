@@ -118,6 +118,40 @@ def test_decode_attention_quant_interpret_matches_xla():
             atol=tol, rtol=tol)
 
 
+def test_decode_attention_quant_stacked_layer_select():
+    """The decoder scan passes the FULL stacked cache ([L, B, C, Hkv*hd])
+    plus a traced layer index; the kernel must select that layer's slab via
+    its scalar-prefetch index maps (no XLA slice copy). Each layer holds
+    different data, so a wrong selection is a loud mismatch."""
+    from videoglamm_tpu.models.kvcache import _quantize
+    from videoglamm_tpu.ops.attention import decode_attention_quant
+
+    rng = np.random.RandomState(11)
+    L, B, Hq, Hkv, C, hd = 3, 2, 8, 4, 300, 96
+    q = jnp.asarray(rng.randn(B, Hq, 1, hd), jnp.float32)
+    kf = jnp.asarray(rng.randn(L, B, Hkv, C, hd), jnp.float32)
+    vf = jnp.asarray(rng.randn(L, B, Hkv, C, hd), jnp.float32)
+    kq, ks = _quantize(kf)
+    vq, vs = _quantize(vf)
+    kflat = jnp.transpose(kq, (0, 1, 3, 2, 4)).reshape(L, B, C, Hkv * hd)
+    vflat = jnp.transpose(vq, (0, 1, 3, 2, 4)).reshape(L, B, C, Hkv * hd)
+    kv_lens = jnp.asarray(rng.randint(C // 2, C + 1, size=(B,)), jnp.int32)
+    rep = Hq // Hkv
+    for layer in range(L):
+        out = decode_attention_quant(
+            q, kflat, vflat, ks, vs, kv_lens, jnp.int32(layer),
+            sm_scale=hd ** -0.5, block_k=128, interpret=True)
+        ref = _attention_xla(
+            q, jnp.repeat(kq[layer], rep, axis=1),
+            jnp.repeat(vq[layer], rep, axis=1),
+            causal=False, sm_scale=hd ** -0.5, kv_lens=kv_lens, bias=None,
+            k_scale=jnp.repeat(ks[layer], rep, axis=1),
+            v_scale=jnp.repeat(vs[layer], rep, axis=1))
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref, np.float32),
+            atol=2e-5, rtol=2e-5)
+
+
 def test_rms_norm():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(4, 32), jnp.float32)

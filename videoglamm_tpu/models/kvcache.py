@@ -59,33 +59,14 @@ def _quantize(x):
     return q, scale
 
 
-def update_and_fetch(cache, layer_idx, kn, vn, starts, compute_dtype):
-    """Write this block's K/V into the stacked cache and return the updated
-    cache plus this layer's attention-ready K/V slabs.
-
-    kn/vn: [B, Hkv, S, hd] (post-RoPE K, head-transposed V); starts: [B]
-    per-row write offsets (positions are contiguous per row). Writes are
-    per-row in-place dynamic slices, statically unrolled over the small
-    batch — a vmapped update materialized the whole layer slab per step
-    (batch-2 serving measured 11.75 vs 13.58 f/s/chip).
-
-    Returns (cache, k_att, v_att, k_scale, v_scale). For a bf16 cache the
-    scales are None. For the int8 cache:
-    - decode (S == 1): k_att/v_att stay INT8 and the per-token/head scales
-      come back separately for the quant-aware attention path — a
-      dequantized bf16 copy of the whole cache per step is exactly the HBM
-      stream int8 KV exists to avoid, and `convert*scale` does NOT fuse
-      into an XLA dot operand (measured 12.78 vs 13.62 f/s/chip); the
-      scales instead fold into the logits (k, an output dim of QK^T) and
-      into the probs (v, pre-contraction) in ops/attention.py.
-    - prefill (S > 1): one dequantized bf16 slab is materialized so the
-      compute-bound prefill keeps its Pallas flash path (~27 MB/layer,
-      negligible next to the prefill matmuls).
-    """
+def write(cache, layer_idx, kn, vn, starts):
+    """Write this block's K/V into the stacked cache at each row's start
+    position. kn/vn: [B, Hkv, S, hd]; starts: [B]. Writes are per-row
+    in-place dynamic slices, statically unrolled over the small batch — a
+    vmapped update materialized the whole layer slab per step (batch-2
+    serving measured 11.75 vs 13.58 f/s/chip)."""
     B, Hkv, S, hd = kn.shape
-    quant = "k_scale" in cache
-
-    if quant:
+    if "k_scale" in cache:
         kq, ks = _quantize(kn)
         vq, vs = _quantize(vn)
         # token-major flat rows for the int8 cache ([B, S, Hkv*hd]); at
@@ -108,6 +89,45 @@ def update_and_fetch(cache, layer_idx, kn, vn, starts, compute_dtype):
                    "sc": (layer_idx, b, 0, starts[b])}[kind]
             buf = jax.lax.dynamic_update_slice(buf, val[None, b:b + 1], idx)
         cache[name] = buf
+    return cache
+
+
+def update_and_fetch(cache, layer_idx, kn, vn, starts, compute_dtype):
+    """Write this block's K/V into the stacked cache and return the updated
+    cache plus this layer's attention-ready K/V slabs.
+
+    kn/vn: [B, Hkv, S, hd] (post-RoPE K, head-transposed V); starts: [B]
+    per-row write offsets (positions are contiguous per row).
+
+    Returns (cache, k_att, v_att, k_scale, v_scale). For a bf16 cache the
+    scales are None and k_att/v_att are this layer's head-major slabs. For
+    the int8 cache:
+    - decode (S == 1): k_att/v_att are the FULL STACKED int8 buffers
+      ([L, B, C, Hkv*hd]) and the stacked scales come back separately for
+      the quant-aware attention path — a dequantized bf16 copy of the
+      whole cache per step is exactly the HBM stream int8 KV exists to
+      avoid, and `convert*scale` does NOT fuse into an XLA dot operand
+      (measured 12.78 vs 13.62 f/s/chip); the scales instead fold into the
+      logits (k, an output dim of QK^T) and into the probs (v, pre-
+      contraction) in ops/attention.py, and the Pallas decode kernel
+      selects the layer via scalar prefetch (caller passes layer_idx to
+      dot_product_attention) so no 2x slab copy is ever materialized.
+    - prefill (S > 1): one dequantized bf16 slab is materialized so the
+      compute-bound prefill keeps its Pallas flash path (~27 MB/layer,
+      negligible next to the prefill matmuls).
+    """
+    cache = write(cache, layer_idx, kn, vn, starts)
+    B, Hkv, S, hd = kn.shape
+    quant = "k_scale" in cache
+
+    if quant and S == 1:
+        # decode: hand back the FULL stacked int8 cache + scales untouched —
+        # the Pallas decode kernel selects the layer inside its BlockSpec
+        # index maps via scalar prefetch (ops/attention.py:
+        # decode_attention_quant), so no XLA dynamic-slice ever materializes
+        # a 2x copy of the layer slab just to feed the kernel (measured
+        # ~31 us/layer/token of pure copy at flagship scale)
+        return cache, cache["k"], cache["v"], cache["k_scale"], cache["v_scale"]
 
     k_att = jax.lax.dynamic_index_in_dim(cache["k"], layer_idx, 0,
                                          keepdims=False)
@@ -120,15 +140,11 @@ def update_and_fetch(cache, layer_idx, kn, vn, starts, compute_dtype):
                                         keepdims=False)
     vs_l = jax.lax.dynamic_index_in_dim(cache["v_scale"], layer_idx, 0,
                                         keepdims=False)
-    if S > 1:
-        # prefill: materialize one dequantized head-major bf16 slab so the
-        # compute-bound prefill keeps its Pallas flash path
-        C = k_att.shape[1]
-        k_att = k_att.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3).astype(
-            compute_dtype) * ks_l[..., None].astype(compute_dtype)
-        v_att = v_att.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3).astype(
-            compute_dtype) * vs_l[..., None].astype(compute_dtype)
-        return cache, k_att, v_att, None, None
-    # decode: K/V stay int8 token-major flat ([B, C, Hkv*hd]) with their
-    # scales — consumed by ops/attention.decode_attention_quant
-    return cache, k_att, v_att, ks_l, vs_l
+    # prefill: materialize one dequantized head-major bf16 slab so the
+    # compute-bound prefill keeps its Pallas flash path
+    C = k_att.shape[1]
+    k_att = k_att.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3).astype(
+        compute_dtype) * ks_l[..., None].astype(compute_dtype)
+    v_att = v_att.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3).astype(
+        compute_dtype) * vs_l[..., None].astype(compute_dtype)
+    return cache, k_att, v_att, None, None

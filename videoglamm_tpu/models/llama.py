@@ -95,7 +95,8 @@ class LlamaDecoderLayer(nn.Module):
 
         o = dot_product_attention(q, k_att, v_att, causal=self.causal,
                                   kv_lens=kv_lens, q_start=positions[:, 0],
-                                  k_scale=k_scale, v_scale=v_scale)
+                                  k_scale=k_scale, v_scale=v_scale,
+                                  layer=layer_idx)
         o = o.transpose(0, 2, 1, 3).reshape(B, S, nh * hd)
         o = Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype,
                   name="o_proj")(o)

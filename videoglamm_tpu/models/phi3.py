@@ -123,7 +123,8 @@ class Phi3DecoderLayer(nn.Module):
         # 0 for prefill / full forward (right-padded batches), pos for decode.
         o = dot_product_attention(q, k_att, v_att, causal=self.causal,
                                   kv_lens=kv_lens, q_start=positions[:, 0],
-                                  k_scale=k_scale, v_scale=v_scale)
+                                  k_scale=k_scale, v_scale=v_scale,
+                                  layer=layer_idx)
         o = o.transpose(0, 2, 1, 3).reshape(B, S, nh * hd)
         o = self._proj(cfg.hidden_size, "o_proj")(o)
         x = x + o

@@ -896,8 +896,8 @@ def _decode_q_kernel(kvlen_ref, qbd_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
     @pl.when(k_start < kv_len)
     def _compute():
         qbd = qbd_ref[0]                                 # [Hq, HD] blockdiag
-        k = k_ref[0]                                     # [bk, HD] int8
-        v = v_ref[0]
+        k = k_ref[0, 0]                                  # [bk, HD] int8
+        v = v_ref[0, 0]
         Hq = qbd.shape[0]
         rows, cols = heads_pg * G, heads_pg * hd
         n_groups = Hq // rows
@@ -917,8 +917,8 @@ def _decode_q_kernel(kvlen_ref, qbd_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
         s = (parts[0] if n_groups == 1 else
              jnp.concatenate(parts, axis=0)) * sm_scale  # [Hq, bk] f32
 
-        ks = ks_ref[0]                                   # [Hkv, bk]
-        vs = vs_ref[0]
+        ks = ks_ref[0, 0]                                # [Hkv, bk]
+        vs = vs_ref[0, 0]
         if G > 1:
             ks = jnp.repeat(ks, G, axis=0)               # [Hq, bk]
             vs = jnp.repeat(vs, G, axis=0)
@@ -967,22 +967,34 @@ def _decode_q_kernel(kvlen_ref, qbd_ref, k_ref, v_ref, ks_ref, vs_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_k",
                                              "interpret"))
-def decode_attention_quant(q, k, v, k_scale, v_scale, kv_lens, *,
+def decode_attention_quant(q, k, v, k_scale, v_scale, kv_lens, layer=None, *,
                            sm_scale: float, block_k: int = 512,
                            interpret: bool = False):
     """q: [B, Hq, 1, hd] (Hq = G * Hkv, grouped-query order: q head i reads
-    kv head i // G); k/v: TOKEN-MAJOR flat int8 [B, C, Hkv*hd];
-    k_scale/v_scale: [B, Hkv, C] f32; kv_lens: [B].
-    Returns [B, Hq, 1, hd] in q.dtype. Caller must check
+    kv head i // G); k/v: TOKEN-MAJOR flat int8 — either one layer's slab
+    [B, C, Hkv*hd] or the FULL stacked cache [L, B, C, Hkv*hd] with `layer`
+    a traced scalar index. Passing the stacked cache is how the decoder scan
+    calls this: the layer is selected in the kernel's index maps (scalar
+    prefetch), so no XLA dynamic-slice ever materializes a 2x copy of the
+    layer slab just to feed the kernel (measured 31 us/layer/token of pure
+    copy at flagship scale). k_scale/v_scale: [(L,) B, Hkv, C] f32;
+    kv_lens: [B]. Returns [B, Hq, 1, hd] in q.dtype. Caller must check
     _decode_group_plan(Hkv, hd) is not None before dispatching here."""
     B, Hq, _, hd = q.shape
-    Hkv, C = k_scale.shape[1], k.shape[1]
+    Hkv = k_scale.shape[-2]
+    if k.ndim == 3:
+        k, v = k[None], v[None]
+        k_scale, v_scale = k_scale[None], v_scale[None]
+        layer = jnp.int32(0)
+    C = k.shape[2]
     HD = Hkv * hd
     G = Hq // Hkv
     heads_pg = _decode_group_plan(Hkv, hd)
     bk = min(block_k, _round_up(C, 128))
     nk = (C + bk - 1) // bk
-    kv_lens = kv_lens.astype(jnp.int32)
+    # scalar-prefetch vector: [kv_lens(B), layer]
+    scalars = jnp.concatenate([kv_lens.astype(jnp.int32),
+                               jnp.asarray(layer, jnp.int32)[None]])
 
     # block-diagonal query [B, Hq, Hkv*hd]: row i carries q head i in the
     # hd-column block of kv head i // G, zeros elsewhere (tiny: ~200 KB at
@@ -1000,8 +1012,8 @@ def decode_attention_quant(q, k, v, k_scale, v_scale, kv_lens, *,
         last = jax.lax.div(jnp.maximum(kvl[b], 1) - 1, jnp.int32(bk))
         return jnp.minimum(j, last)
 
-    kv_map = lambda b, j, kvl: (b, _clamp(j, kvl, b), 0)
-    sc_map = lambda b, j, kvl: (b, 0, _clamp(j, kvl, b))
+    kv_map = lambda b, j, sc: (sc[B], b, _clamp(j, sc, b), 0)
+    sc_map = lambda b, j, sc: (sc[B], b, 0, _clamp(j, sc, b))
 
     out = pl.pallas_call(
         functools.partial(_decode_q_kernel, sm_scale=float(sm_scale),
@@ -1010,13 +1022,13 @@ def decode_attention_quant(q, k, v, k_scale, v_scale, kv_lens, *,
             num_scalar_prefetch=1,
             grid=(B, nk),
             in_specs=[
-                pl.BlockSpec((1, Hq, HD), lambda b, j, kvl: (b, 0, 0)),
-                pl.BlockSpec((1, bk, HD), kv_map),
-                pl.BlockSpec((1, bk, HD), kv_map),
-                pl.BlockSpec((1, Hkv, bk), sc_map),
-                pl.BlockSpec((1, Hkv, bk), sc_map),
+                pl.BlockSpec((1, Hq, HD), lambda b, j, sc: (b, 0, 0)),
+                pl.BlockSpec((1, 1, bk, HD), kv_map),
+                pl.BlockSpec((1, 1, bk, HD), kv_map),
+                pl.BlockSpec((1, 1, Hkv, bk), sc_map),
+                pl.BlockSpec((1, 1, Hkv, bk), sc_map),
             ],
-            out_specs=pl.BlockSpec((1, Hq, hd), lambda b, j, kvl: (b, 0, 0)),
+            out_specs=pl.BlockSpec((1, Hq, hd), lambda b, j, sc: (b, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((Hq, hd), jnp.float32),
                 pltpu.VMEM((Hq, 128), jnp.float32),
@@ -1027,7 +1039,7 @@ def decode_attention_quant(q, k, v, k_scale, v_scale, kv_lens, *,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(kv_lens, qbd, k, v, k_scale, v_scale)
+    )(scalars, qbd, k, v, k_scale, v_scale)
 
     return out[:, :, None, :]
 
@@ -1043,6 +1055,7 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
                           sm_scale: Optional[float] = None,
                           k_scale: Optional[jax.Array] = None,
                           v_scale: Optional[jax.Array] = None,
+                          layer: Optional[jax.Array] = None,
                           force_xla: bool = False):
     """Attention entrypoint used by all model stacks.
 
@@ -1050,8 +1063,12 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
     XLA implementation on CPU, for biased/per-token-masked attention (small
     decoders + memory attention), and for short sequences where a fused XLA
     softmax wins. kv_mask: [B, Sk] bool — True = attendable.
-    k_scale/v_scale: [B, H, Sk] per-token/head dequant scales for an int8
-    KV cache (decode path; k/v arrive int8, scales fold into logits/probs).
+    k_scale/v_scale: per-token/head dequant scales for an int8 KV cache
+    (decode path; k/v arrive int8, scales fold into logits/probs). k/v may
+    be one layer's token-major slab ([B, C, Hkv*hd]) or the FULL stacked
+    cache ([L, B, C, Hkv*hd]) with `layer` a traced scalar index — the
+    Pallas decode kernel selects the layer via scalar prefetch so no 2x
+    slab copy is materialized per step (models/kvcache.py:update_and_fetch).
     """
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
@@ -1064,17 +1081,24 @@ def dot_product_attention(q, k, v, *, causal: bool = False,
         # mask the kernel applies.
         import os
         B, Hq, Sq_, hd = q.shape
-        Hkv, C = k_scale.shape[1], k.shape[1]
+        Hkv, C = k_scale.shape[-2], k.shape[-2]
+        stacked = k.ndim == 4
         if (on_tpu and Sq_ == 1 and bias is None and kv_mask is None
                 and kv_lens is not None
                 and _decode_group_plan(Hkv, hd) is not None
                 and os.environ.get("VGT_DECODE_KERNEL", "1") == "1"):
             return decode_attention_quant(
                 q, k, v, k_scale, v_scale, kv_lens,
+                layer if stacked else None,
                 sm_scale=float(sm_scale),
                 block_k=int(os.environ.get("VGT_DECODE_BK", "512")))
-        # fallback (CPU tests / unplannable head geometry): reconstruct the
-        # head-major int8 views and run the fused-scale XLA path
+        # fallback (CPU tests / unplannable head geometry): slice out the
+        # layer slab if stacked, reconstruct the head-major int8 views and
+        # run the fused-scale XLA path
+        if stacked:
+            k, v, k_scale, v_scale = (
+                jax.lax.dynamic_index_in_dim(a, layer, 0, keepdims=False)
+                for a in (k, v, k_scale, v_scale))
         k = k.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, C, Hkv, hd).transpose(0, 2, 1, 3)
         if Hq != Hkv:
