@@ -134,6 +134,51 @@ def test_int8_kv_cache_parity():
     assert (bf == bq).mean() >= 0.99, (bf == bq).mean()
 
 
+def test_w8a8_prefill_generation_and_mask_parity(monkeypatch):
+    """W8A8 prefill gate (same methodology as the weight/KV gates): with the
+    routing threshold forced down so the tiny composite's prefill takes the
+    dynamic-activation-quant path (decode stays the M=1 matvec), the full
+    serving combo (int8 weights + int8 KV + W8A8 prefill) must reproduce the
+    float path's generations and masks."""
+    from videoglamm_tpu.io.import_torch import quantize_videoglamm_llm
+
+    model = VideoGLaMM(CFG, dtype=jnp.float32)
+    rng = np.random.RandomState(3)
+    T, T_sam, S = CFG.num_frames, 2, 16
+    ims = CFG.internvideo.image_size
+    cls_ = CFG.clip.image_size
+    sam_s = CFG.sam2.image_size
+    ids = rng.randint(1, 400, size=(1, S)).astype(np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    batch = dict(
+        frames=jnp.asarray(rng.randn(1, T, ims, ims, 3), jnp.float32),
+        context_images=jnp.asarray(rng.randn(1, T, cls_, cls_, 3),
+                                   jnp.float32),
+        frames_sam=jnp.asarray(rng.randn(1, T_sam, sam_s, sam_s, 3),
+                               jnp.float32),
+        input_ids=jnp.asarray(ids),
+        text_lens=jnp.full((1,), S, jnp.int32),
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), **batch,
+        labels=jnp.full_like(batch["input_ids"], -100),
+        video_idx=jnp.zeros((1,), jnp.int32),
+        gt_masks=jnp.zeros((1, CFG.max_seg_tokens, T_sam, 32, 32),
+                           jnp.float32))
+
+    tok_f, mask_f = _clip(model, params, batch)
+
+    monkeypatch.setenv("VGT_W8A8_MIN_M", "2")
+    qparams = {"params": quantize_videoglamm_llm(params["params"])}
+    qmodel = VideoGLaMM(CFG, dtype=jnp.float32, quant_llm_int8=True,
+                        quant_kv_int8=True)
+    tok_q, mask_q = _clip(qmodel, qparams, batch)
+    agree = (tok_f == tok_q).mean()
+    assert agree >= 0.9, f"token agreement (w8a8) {agree}"
+    bf, bq = mask_f > 0, mask_q > 0
+    assert (bf == bq).mean() >= 0.99, (bf == bq).mean()
+
+
 def test_int4_generation_and_mask_parity():
     """int4 is EXPERIMENTAL serving: looser gate than int8 (group-128
     4-bit), checked end-to-end on the tiny composite."""

@@ -463,6 +463,39 @@ def test_int4_quant_roundtrip_and_matmul():
     np.testing.assert_allclose(got_k, ref, atol=2e-3, rtol=2e-3)
 
 
+def test_w8a8_matmul_routing_and_accuracy(monkeypatch):
+    """Large-M int8 matmuls route through dynamic per-token W8A8 (s8 x s8 ->
+    s32); the activation quantization error must stay within the per-token
+    absmax bound, and small-M / opted-out calls must stay bit-identical to
+    the fused-dequant path."""
+    from videoglamm_tpu.ops.quant import (_w8a8_matmul, dequant_matmul,
+                                          quantize_int8)
+    rng = np.random.RandomState(7)
+    M, K, N = 300, 128, 192
+    x = jnp.asarray(rng.randn(M, K), jnp.float32)
+    w8, ws = quantize_int8(jnp.asarray(rng.randn(K, N), jnp.float32))
+
+    exact = np.asarray(x) @ (np.asarray(w8, np.float32) * np.asarray(ws))
+    got = np.asarray(_w8a8_matmul(x, w8, ws))
+    # per-token absmax quantization: |dx| <= amax/254 per element, so the
+    # row error is bounded by (amax/254) * sum_k |w_k n|
+    amax = np.abs(np.asarray(x)).max(axis=1, keepdims=True)
+    wl1 = (np.abs(np.asarray(w8, np.float32)) * np.asarray(ws)).sum(axis=0)
+    bound = amax / 254.0 * wl1[None, :] + 1e-4
+    assert (np.abs(got - exact) <= bound).all()
+
+    # routing: M >= threshold goes W8A8 (matches the direct call), below it
+    # and with VGT_W8A8=0 the fused-dequant result comes back
+    monkeypatch.setenv("VGT_W8A8_MIN_M", "256")
+    assert np.array_equal(np.asarray(dequant_matmul(x, w8, ws)), got)
+    small = np.asarray(dequant_matmul(x[:4], w8, ws))
+    np.testing.assert_allclose(small, exact[:4], atol=1e-3, rtol=1e-3)
+    monkeypatch.setenv("VGT_W8A8", "0")
+    off = np.asarray(dequant_matmul(x, w8, ws))
+    assert not np.array_equal(off, got)
+    np.testing.assert_allclose(off, exact, atol=1e-3, rtol=1e-3)
+
+
 def test_packed_padded_kernel_interpret_matches_xla():
     """Head-prepadded packed-qkv kernel (Hiera super-window path) in
     interpret mode vs the XLA einsum over the unpadded heads, incl. win>0

@@ -230,18 +230,62 @@ def dequant4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
     return y.reshape(lead + (packed.shape[1],))
 
 
+def quantize_rows(x):
+    """Per-token symmetric int8 quantization over the last dim.
+    x: [..., K] float -> (int8 [..., K], scale f32 [..., 1])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _w8a8_matmul(x2, w_q, scale):
+    """Dynamic per-token W8A8: quantize activations, s8 x s8 -> s32 on the
+    MXU (2x the bf16 ALU rate on v5e), fold both scales into the epilogue."""
+    q, s = quantize_rows(x2)
+    acc = jax.lax.dot_general(q, w_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * s * scale.astype(jnp.float32)
+    return y.astype(x2.dtype)
+
+
+def _w8a8_min_m() -> int:
+    """Minimum token count for the W8A8 prefill path: below this the matmul
+    is HBM-bound on the (already int8) weights and activation quantization
+    only adds work; above it the MXU rate dominates and the int8 ALU path
+    wins (slope-measured on the Phi-3 MLP pair at S=3456: 2.35 -> 1.70 ms).
+    Env-tunable so the tiny-composite parity gate can force the path."""
+    import os
+    return int(os.environ.get("VGT_W8A8_MIN_M", "256"))
+
+
+def w8a8_enabled() -> bool:
+    import os
+    return os.environ.get("VGT_W8A8", "1") == "1"
+
+
 def dequant_matmul(x: jnp.ndarray, w_q: jnp.ndarray, scale: jnp.ndarray):
     """x: [..., K] float; w_q: [K, N] int8; scale: [N] f32 -> [..., N].
 
-    The int8->compute-dtype convert is expressed inline so XLA fuses it into
-    the dot's operand load — weights stream from HBM as int8 (measured
-    14.7 -> 9.8 ms/token flagship decode). The explicit Pallas kernel
-    (_dequant_matmul_pallas) is kept for large-M cases/reference; at decode
-    shapes its per-call launch overhead (4 projections x 32 layers) eats the
+    Decode / small-M: the int8->compute-dtype convert is expressed inline so
+    XLA fuses it into the dot's operand load — weights stream from HBM as
+    int8 (measured 14.7 -> 9.8 ms/token flagship decode).
+
+    Prefill / large-M (>= _W8A8_MIN_M rows): dynamic per-token W8A8 — the
+    activations quantize to int8 (absmax rows) and the dot runs s8 x s8 ->
+    s32 on the MXU at 2x the bf16 rate (v5e 394 TOPS); both scales fold
+    into the f32 epilogue. Covered by the same end-to-end token/mask
+    agreement gate as the int8 weights (tests/test_int8_parity.py);
+    VGT_W8A8=0 opts out. The explicit Pallas kernel
+    (_dequant_matmul_pallas) is kept for reference; at decode shapes its
+    per-call launch overhead (4 projections x 32 layers) eats the
     bandwidth win."""
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
+    if x2.shape[0] >= _w8a8_min_m() and w8a8_enabled():
+        return _w8a8_matmul(x2, w_q, scale).reshape(lead + (w_q.shape[1],))
     y = jnp.einsum("mk,kn->mn", x2, w_q.astype(x.dtype),
                    preferred_element_type=jnp.float32)
     y = (y * scale.astype(jnp.float32)).astype(x.dtype)
