@@ -189,3 +189,25 @@ def test_ngram_replay_stats():
     # constant stream: the fallback drafter (repeat last) accepts all
     stats = ngram_replay_stats([7] * 40, draft_k=4)
     assert stats["tokens_per_iteration"] > 2.5
+
+
+def test_video_branch_batched_matches_per_row(setup):
+    """Batch>1 video-branch tracking (vmapped tracker) must reproduce the
+    per-row tracker exactly — unlocks throughput serving on the memory-
+    conditioned path (the reference protocol is batch-1 only)."""
+    model, params, batch = setup
+    pipe = GroundedInference(model, params, max_new_tokens=MAX_NEW,
+                             eos_id=EOS)
+    vidx = batch["video_idx"]
+    frames_sam = batch["frames_sam"][vidx]
+    B = batch["input_ids"].shape[0]
+    assert B >= 2
+    rng = np.random.RandomState(7)
+    seg = jnp.asarray(rng.randn(B, CFG.max_seg_tokens,
+                                CFG.out_dim), jnp.float32)
+
+    batched = pipe._track_masks_batch(params, frames_sam, seg)
+    rows = jnp.stack([pipe._track_masks(params, frames_sam[b], seg[b])
+                      for b in range(B)])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(rows),
+                               atol=1e-5, rtol=1e-5)

@@ -58,3 +58,33 @@ def test_golden_parity_vs_reference_module():
     ref_i = xv_i[:, 1:].numpy()
     got_i = np.asarray(model.apply(params, jnp.asarray(xi), use_image=True))
     np.testing.assert_allclose(got_i, ref_i, atol=2e-4, rtol=2e-4)
+
+
+def test_golden_parity_head_padded_path():
+    """Flagship-like head dim (88 = 1408/16) exercises the head-padded
+    attention path (weight-padded qkv + pad-aware qk-norms +
+    attention_packed_qkv_padded + pad-consuming proj) against the REAL
+    reference torch module."""
+    import torch
+
+    cfg = InternVideo2Config(image_size=28, patch_size=14, embed_dim=176,
+                             depth=3, num_heads=2, mlp_ratio=2.0,
+                             num_frames=4, attn_pool_num_heads=2,
+                             clip_embed_dim=32)
+    assert 64 <= cfg.embed_dim // cfg.num_heads < 128  # hd=88: padded path
+
+    ref = build_reference_internvideo2(cfg, seed=1)
+    sd = {k: v for k, v in ref.state_dict().items()}
+
+    from videoglamm_tpu.io import import_internvideo2
+    params = {"params": import_internvideo2(sd, cfg, prefix="")}
+    model = InternVideo2Tower(cfg, dtype=jnp.float32)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, cfg.num_frames, cfg.image_size, cfg.image_size,
+                  3).astype(np.float32)
+    with torch.no_grad():
+        xv = ref(torch.from_numpy(x).permute(0, 4, 1, 2, 3),
+                 use_image=False, x_vis_return_idx=-2, x_vis_only=True)
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, xv[:, 1:].numpy(), atol=2e-4, rtol=2e-4)

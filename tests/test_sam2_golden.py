@@ -52,3 +52,18 @@ def test_hiera_golden(img):
     for got, want in zip(outs, ref_outs):
         np.testing.assert_allclose(np.asarray(got), want, atol=2e-3,
                                    rtol=2e-3)
+
+
+def test_hiera_layout_hoisting_exact():
+    """Window-layout hoisting (partition/unpartition lifted out of
+    same-window block runs, global blocks running window-major) is a pure
+    token reordering: outputs must be BIT-identical to the per-block
+    layout path, including through a global-attention block and batch>1."""
+    cfg = TINY
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 128, 128, 3),
+                    jnp.float32)
+    params = Hiera(cfg, dtype=jnp.float32).init(jax.random.PRNGKey(0), x)
+    outs_h = Hiera(cfg, dtype=jnp.float32, hoist_layout=True).apply(params, x)
+    outs_p = Hiera(cfg, dtype=jnp.float32, hoist_layout=False).apply(params, x)
+    for h, p in zip(outs_h, outs_p):
+        np.testing.assert_array_equal(np.asarray(h), np.asarray(p))

@@ -88,6 +88,13 @@ class GroundedInference:
         self._track_masks = jax.jit(
             lambda p, f, s: model.apply(
                 p, f, s, method=lambda mdl, a, b: mdl.track_masks(a, b)))
+        # batched rows ride a vmap over the per-video tracker (params
+        # broadcast): one compiled tracker serves any batch size, so
+        # throughput serving (BENCH_BATCH>1) can use the video branch too
+        self._track_masks_batch = jax.jit(jax.vmap(
+            lambda p, f, s: model.apply(
+                p, f, s, method=lambda mdl, a, b: mdl.track_masks(a, b)),
+            in_axes=(None, 0, 0)))
 
     def __call__(self, frames, context_images, frames_sam, input_ids,
                  text_lens, rng: Optional[jax.Array] = None,
@@ -102,9 +109,11 @@ class GroundedInference:
         gen = self._generate(p, visual, input_ids, text_lens, rng=rng)
         seg = extract_seg_from_generation(self.model, p, gen)
         if use_video_branch:
-            masks = jnp.stack([
-                self._track_masks(p, frames_sam[b], seg.embeds[b])
-                for b in range(frames_sam.shape[0])])
+            if frames_sam.shape[0] == 1:
+                masks = self._track_masks(p, frames_sam[0], seg.embeds[0])[
+                    None]
+            else:
+                masks = self._track_masks_batch(p, frames_sam, seg.embeds)
         else:
             sam_feats, _ = self._encode_sam(p, frames_sam)
             vidx = jnp.arange(frames_sam.shape[0], dtype=jnp.int32)

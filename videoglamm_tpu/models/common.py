@@ -73,6 +73,65 @@ class QDense4(nn.Module):
         return dequant4_matmul(x.astype(self.dtype), k, s, group=g)
 
 
+class HeadPaddedQKV(nn.Module):
+    """Fused qkv projection emitting heads PRE-PADDED to 128 lanes: the
+    zero pad happens in the WEIGHTS ([in, 3*dim] -> [in, 3*H*128] scatter),
+    so the matmul itself writes the kernel-aligned layout and no activation
+    relayout ever materializes (the per-head 72 -> 128 activation pad was
+    what sank the round-2 super-window fold). Param tree matches Dense
+    ({kernel [in, 3*dim], bias [3*dim]}) for checkpoint compatibility."""
+    dim: int
+    num_heads: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hd = self.dim // self.num_heads
+        H3 = 3 * self.num_heads
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (x.shape[-1], 3 * self.dim), jnp.float32)
+        kp = jnp.pad(k.reshape(x.shape[-1], H3, hd),
+                     ((0, 0), (0, 0), (0, 128 - hd)))
+        y = jnp.einsum("...i,io->...o", x,
+                       kp.reshape(x.shape[-1], H3 * 128).astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (3 * self.dim,),
+                           jnp.float32)
+            bp = jnp.pad(b.reshape(H3, hd), ((0, 0), (0, 128 - hd)))
+            y = y + bp.reshape(H3 * 128).astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
+class PadConsumingProj(nn.Module):
+    """Output projection consuming head-padded activations ([.., H*128]):
+    the weight rows at pad lanes are zero, so the padded layout feeds the
+    matmul directly. Param tree matches Dense ({kernel [H*hd, out]})."""
+    dim_in: int
+    num_heads: int
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        hd = self.dim_in // self.num_heads
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.dim_in, self.features), jnp.float32)
+        kp = jnp.pad(k.reshape(self.num_heads, hd, self.features),
+                     ((0, 0), (0, 128 - hd), (0, 0)))
+        y = jnp.einsum("...i,io->...o", x,
+                       kp.reshape(self.num_heads * 128,
+                                  self.features).astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
 def Dense(features, use_bias=True, dtype=jnp.bfloat16, name=None,
           kernel_init=nn.initializers.lecun_normal()):
     """nn.Dense factory with f32 params + configurable compute dtype.

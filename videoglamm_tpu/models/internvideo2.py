@@ -30,7 +30,22 @@ import flax.linen as nn
 
 from ..config import InternVideo2Config
 from ..ops import dot_product_attention
-from .common import Dense, RMSNorm, patchify_conv
+from .common import (Dense, HeadPaddedQKV, PadConsumingProj, RMSNorm,
+                     patchify_conv)
+
+
+def _rms_norm_padded_flat(x, w, nh: int, hd: int, eps: float):
+    """RMSNorm over the REAL flattened dim of a head-padded layout.
+
+    x: [..., nh*128] with zero pad lanes (real head dim hd); w: [nh*hd]
+    scale. Zero pads contribute nothing to the sum of squares, so dividing
+    by the real dim reproduces ops.rms_norm over the unpadded vector
+    exactly; the scale pads with zeros so pad lanes stay zero."""
+    xf = x.astype(jnp.float32)
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / (nh * hd)
+    wp = jnp.pad(w.astype(jnp.float32).reshape(nh, hd),
+                 ((0, 0), (0, 128 - hd))).reshape(nh * 128)
+    return (xf * jax.lax.rsqrt(var + eps) * wp).astype(x.dtype)
 
 
 def sincos_3d_pos_embed(embed_dim: int, grid_hw: int, t_size: int,
@@ -64,6 +79,20 @@ def sincos_3d_pos_embed(embed_dim: int, grid_hw: int, t_size: int,
     return pos.astype(np.float32)
 
 
+class _PaddedRMSNorm(nn.Module):
+    """RMSNorm over the real dims of a head-padded flat layout; param tree
+    matches RMSNorm ({scale: [nh*hd]}) so checkpoint import is unchanged."""
+    nh: int
+    hd: int
+    eps: float
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("scale", nn.initializers.ones,
+                       (self.nh * self.hd,), jnp.float32)
+        return _rms_norm_padded_flat(x, w, self.nh, self.hd, self.eps)
+
+
 class InternVideo2Block(nn.Module):
     """Pre-RMSNorm transformer block with QK-norm + fp32 LayerScale
     (reference internvideo2.py:264-316)."""
@@ -78,22 +107,42 @@ class InternVideo2Block(nn.Module):
         hd = D // nh
 
         h = RMSNorm(eps=cfg.rms_eps, name="norm1")(x)
-        qkv = Dense(3 * D, use_bias=cfg.qkv_bias, dtype=self.dtype,
-                    name="qkv")(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        if cfg.qk_normalization:
-            # reference normalizes over the FULL flattened dim, not per-head
-            # (internvideo2.py:194-197)
-            q = RMSNorm(eps=cfg.rms_eps, name="q_norm")(q)
-            k = RMSNorm(eps=cfg.rms_eps, name="k_norm")(k)
+        if 64 <= hd < 128:
+            # head-padded attention path (flagship hd=88): the qkv weights
+            # pre-pad every head to a full 128-lane tile, the qk-norms run
+            # pad-aware on the flat layout, and the attention kernel reads
+            # the projection output directly — no 88 -> 128 activation
+            # relayouts anywhere (numerically exact: pad lanes are zero).
+            from ..ops.attention import attention_packed_qkv_padded
+            qkv = HeadPaddedQKV(D, nh, use_bias=cfg.qkv_bias,
+                                dtype=self.dtype, name="qkv")(h)
+            if cfg.qk_normalization:
+                hp = nh * 128
+                q = _PaddedRMSNorm(nh, hd, cfg.rms_eps, name="q_norm")(
+                    qkv[..., :hp])
+                k = _PaddedRMSNorm(nh, hd, cfg.rms_eps, name="k_norm")(
+                    qkv[..., hp:2 * hp])
+                qkv = jnp.concatenate([q, k, qkv[..., 2 * hp:]], axis=-1)
+            o = attention_packed_qkv_padded(qkv, nh, hd)
+            o = PadConsumingProj(D, nh, D, dtype=self.dtype,
+                                 name="attn_proj")(o)
+        else:
+            qkv = Dense(3 * D, use_bias=cfg.qkv_bias, dtype=self.dtype,
+                        name="qkv")(h)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            if cfg.qk_normalization:
+                # reference normalizes over the FULL flattened dim, not
+                # per-head (internvideo2.py:194-197)
+                q = RMSNorm(eps=cfg.rms_eps, name="q_norm")(q)
+                k = RMSNorm(eps=cfg.rms_eps, name="k_norm")(k)
 
-        # BSHD kernel path — q/k/v reshapes are free, no head transposes
-        from ..ops.attention import attention_bshd
-        o = attention_bshd(q.reshape(B, N, nh, hd),
-                           k.reshape(B, N, nh, hd),
-                           v.reshape(B, N, nh, hd))
-        o = o.reshape(B, N, D)
-        o = Dense(D, dtype=self.dtype, name="attn_proj")(o)
+            # BSHD kernel path — q/k/v reshapes are free, no transposes
+            from ..ops.attention import attention_bshd
+            o = attention_bshd(q.reshape(B, N, nh, hd),
+                               k.reshape(B, N, nh, hd),
+                               v.reshape(B, N, nh, hd))
+            o = o.reshape(B, N, D)
+            o = Dense(D, dtype=self.dtype, name="attn_proj")(o)
         ls1 = self.param("ls1_gamma", nn.initializers.constant(cfg.init_values),
                          (D,), jnp.float32)
         x = x + (o.astype(jnp.float32) * ls1).astype(x.dtype)

@@ -25,7 +25,8 @@ import flax.linen as nn
 from ...config import HieraConfig
 from ...ops import dot_product_attention
 from ...ops.resize import resize_bicubic
-from ..common import Dense, LayerNorm, Mlp
+from ..common import (Dense, HeadPaddedQKV, LayerNorm, Mlp,
+                      PadConsumingProj)
 
 
 def window_partition(x, ws: int):
@@ -122,60 +123,6 @@ class PatchEmbed(nn.Module):
         return (out + b.astype(jnp.float32)).astype(self.dtype)
 
 
-class HeadPaddedQKV(nn.Module):
-    """Fused qkv projection emitting heads PRE-PADDED to 128 lanes: the
-    zero pad happens in the WEIGHTS ([in, 3*dim] -> [in, 3*H*128] scatter),
-    so the matmul itself writes the kernel-aligned layout and no activation
-    relayout ever materializes (the per-head 72 -> 128 activation pad was
-    what sank the round-2 super-window fold). Param tree matches Dense
-    ({kernel [in, 3*dim], bias [3*dim]}) for checkpoint compatibility."""
-    dim: int
-    num_heads: int
-    dtype: jnp.dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x):
-        hd = self.dim // self.num_heads
-        H3 = 3 * self.num_heads
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (x.shape[-1], 3 * self.dim), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (3 * self.dim,),
-                       jnp.float32)
-        kp = jnp.pad(k.reshape(x.shape[-1], H3, hd),
-                     ((0, 0), (0, 0), (0, 128 - hd)))
-        bp = jnp.pad(b.reshape(H3, hd), ((0, 0), (0, 128 - hd)))
-        y = jnp.einsum("...i,io->...o", x,
-                       kp.reshape(x.shape[-1], H3 * 128).astype(self.dtype),
-                       preferred_element_type=jnp.float32)
-        return (y + bp.reshape(H3 * 128).astype(jnp.float32)
-                ).astype(self.dtype)
-
-
-class PadConsumingProj(nn.Module):
-    """Output projection consuming head-padded activations ([.., H*128]):
-    the weight rows at pad lanes are zero, so the padded layout feeds the
-    matmul directly. Param tree matches Dense ({kernel [H*hd, out]})."""
-    dim_in: int
-    num_heads: int
-    features: int
-    dtype: jnp.dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x):
-        hd = self.dim_in // self.num_heads
-        k = self.param("kernel", nn.initializers.lecun_normal(),
-                       (self.dim_in, self.features), jnp.float32)
-        b = self.param("bias", nn.initializers.zeros, (self.features,),
-                       jnp.float32)
-        kp = jnp.pad(k.reshape(self.num_heads, hd, self.features),
-                     ((0, 0), (0, 128 - hd), (0, 0)))
-        y = jnp.einsum("...i,io->...o", x,
-                       kp.reshape(self.num_heads * 128,
-                                  self.features).astype(self.dtype),
-                       preferred_element_type=jnp.float32)
-        return (y + b.astype(jnp.float32)).astype(self.dtype)
-
-
 import os as _os
 
 # folded super-window token target (kernel sweep knob; the block-diagonal
@@ -259,6 +206,13 @@ class MultiScaleBlock(nn.Module):
     mlp_ratio: float
     window_size: int      # 0 => global attention
     q_pool: bool = False  # stage-transition block: 2x2 maxpool on queries
+    # input arrives already window-partitioned as [B*nW, ws, ws, C] and the
+    # output is returned in the same layout (partition/unpartition hoisted
+    # to the stage level by Hiera.__call__) — valid because LayerNorm/MLP/
+    # residuals are token-local and global attention is permutation-
+    # invariant over the token axis
+    pre_windowed: int = 0  # ws of the incoming layout (0 = spatial)
+    true_batch: int = 1    # image count under the folded window batch
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -272,19 +226,38 @@ class MultiScaleBlock(nn.Module):
                 shortcut = _max_pool_2x(shortcut)
 
         ws = self.window_size
-        H, W = x.shape[1], x.shape[2]
-        if ws > 0:
-            x, pad_hw = window_partition(x, ws)
+        if self.pre_windowed:
+            if ws > 0:
+                # windowed block on an already-windowed layout: no-op
+                assert ws == self.pre_windowed and not self.q_pool
+                x = MultiScaleAttention(self.dim_out, self.num_heads,
+                                        q_pool=False, window_size=ws,
+                                        dtype=self.dtype, name="attn")(x)
+            else:
+                # global block: attention is permutation-invariant, so run
+                # it straight over the window-major token order (windows are
+                # image-major, so a reshape regroups per image losslessly)
+                nwin, w_, _, C = x.shape
+                bt = self.true_batch
+                x = MultiScaleAttention(
+                    self.dim_out, self.num_heads, q_pool=False,
+                    window_size=0, dtype=self.dtype, name="attn")(
+                        x.reshape(bt, (nwin // bt) * w_ * w_, 1, C))
+                x = x.reshape(nwin, w_, w_, -1)
+        else:
+            H, W = x.shape[1], x.shape[2]
+            if ws > 0:
+                x, pad_hw = window_partition(x, ws)
 
-        x = MultiScaleAttention(self.dim_out, self.num_heads,
-                                q_pool=self.q_pool, window_size=ws,
-                                dtype=self.dtype, name="attn")(x)
-        if self.q_pool:
-            ws = ws // 2
-            H, W = shortcut.shape[1], shortcut.shape[2]
-            pad_hw = (H + (-H) % max(ws, 1), W + (-W) % max(ws, 1))
-        if self.window_size > 0:
-            x = window_unpartition(x, ws, pad_hw, (H, W))
+            x = MultiScaleAttention(self.dim_out, self.num_heads,
+                                    q_pool=self.q_pool, window_size=ws,
+                                    dtype=self.dtype, name="attn")(x)
+            if self.q_pool:
+                ws = ws // 2
+                H, W = shortcut.shape[1], shortcut.shape[2]
+                pad_hw = (H + (-H) % max(ws, 1), W + (-W) % max(ws, 1))
+            if self.window_size > 0:
+                x = window_unpartition(x, ws, pad_hw, (H, W))
 
         x = shortcut + x
         h = LayerNorm(eps=1e-6, name="norm2")(x)
@@ -296,6 +269,9 @@ class MultiScaleBlock(nn.Module):
 class Hiera(nn.Module):
     cfg: HieraConfig
     dtype: jnp.dtype = jnp.bfloat16
+    # layout hoisting is numerically exact (pure reordering); the knob
+    # exists so tests can compare both paths
+    hoist_layout: bool = True
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
@@ -330,6 +306,25 @@ class Hiera(nn.Module):
         heads = cfg.num_heads
         cur_stage = 1
         outputs = []
+        # Window-layout hoisting: consecutive same-window blocks keep x in
+        # the partitioned [B*nW, ws, ws, C] layout — norm/MLP/residuals are
+        # token-local and global-attention blocks are permutation-invariant,
+        # so only q_pool transitions and stage-end outputs need the spatial
+        # layout. This removes 2 relayout copies per block across each
+        # stage's run (35 blocks in Hiera-L stage 3). Hoisting only engages
+        # when the window divides (H, W) exactly (flagship 1024^2 always
+        # does); padded shapes keep the per-block partition semantics.
+        layout_ws = 0  # ws of x's current layout (0 = spatial [B,H,W,C])
+        cur_h, cur_w = H, W
+
+        def to_spatial(x):
+            nonlocal layout_ws
+            if layout_ws:
+                x = window_unpartition(x, layout_ws, (cur_h, cur_w),
+                                       (cur_h, cur_w))
+                layout_ws = 0
+            return x
+
         for i in range(depth):
             dim_out = dim
             window_size = cfg.window_spec[cur_stage - 1]
@@ -339,12 +334,28 @@ class Hiera(nn.Module):
                 dim_out = int(dim * cfg.dim_mul)
                 heads = int(heads * cfg.head_mul)
                 cur_stage += 1
+            q_pool = i in q_pool_blocks
+
+            if q_pool or (window_size > 0
+                          and layout_ws not in (0, window_size)):
+                x = to_spatial(x)
+            if (self.hoist_layout and not q_pool and window_size > 0
+                    and layout_ws == 0
+                    and x.shape[1] % window_size == 0
+                    and x.shape[2] % window_size == 0):
+                x, _ = window_partition(x, window_size)
+                layout_ws = window_size
+
             x = MultiScaleBlock(dim=dim, dim_out=dim_out, num_heads=heads,
                                 mlp_ratio=cfg.mlp_ratio,
                                 window_size=window_size,
-                                q_pool=(i in q_pool_blocks),
+                                q_pool=q_pool, pre_windowed=layout_ws,
+                                true_batch=B,
                                 dtype=self.dtype, name=f"blocks_{i}")(x)
             dim = dim_out
+            if q_pool:
+                cur_h, cur_w = x.shape[1], x.shape[2]
             if i in stage_ends:
+                x = to_spatial(x)
                 outputs.append(x)
         return outputs
