@@ -104,10 +104,11 @@ def time_chain(blk, params_stacked, x):
 def main():
     args = sys.argv[1:]
     only = [a.split("=", 1)[1] for a in args if a.startswith("stage=")]
+    B = int(os.environ.get("HIERA_BENCH_B", "1"))
     variants = [a for a in args if not a.startswith("stage=")] or ["full"]
     geoms = [g for g in GEOMS if not only or any(o in g[0] for o in only)]
     for name, hw, dim, heads, ws in geoms:
-        x = jnp.asarray(np.random.RandomState(0).randn(1, hw, hw, dim),
+        x = jnp.asarray(np.random.RandomState(0).randn(B, hw, hw, dim),
                         jnp.bfloat16)
         row = [name]
         for variant in variants:

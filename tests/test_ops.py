@@ -313,6 +313,49 @@ def test_window_attention_interpret_matches_xla():
                                    atol=2e-5, rtol=2e-5)
 
 
+def test_smallwin_attention_interpret_matches_xla():
+    """Tiny-window packed-tile kernel (Hiera stage-1/2/4 windows) in
+    interpret mode vs the XLA path: 16/64-token windows, several heads at
+    unpadded lane offsets (hd=72), window counts that exercise the
+    tile-pack (P=8/P=2) and the per-program fold divisor search. Gradients
+    route through the XLA recompute vjp."""
+    from jax.experimental.pallas import tpu as pltpu
+    from videoglamm_tpu.ops.attention import (_smallwin_tpu, _smallwin_xla,
+                                              attention_packed_qkv_smallwin)
+
+    rng = np.random.RandomState(5)
+    for (NW, S, H, hd) in [(16, 64, 2, 72), (32, 16, 4, 72), (8, 64, 16, 72),
+                           (6, 64, 2, 40), (24, 16, 1, 88)]:
+        qkv = jnp.asarray(rng.randn(NW, S, 3 * H * hd), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = _smallwin_tpu(qkv, H, hd, hd ** -0.5)
+        ref = _smallwin_xla(qkv, H, hd ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    # vjp: XLA recompute
+    NW, S, H, hd = 4, 64, 2, 72
+    qkv = jnp.asarray(rng.randn(NW, S, 3 * H * hd), jnp.float32)
+
+    def loss_k(q_):
+        with pltpu.force_tpu_interpret_mode():
+            return _smallwin_tpu(q_, H, hd, hd ** -0.5).sum()
+
+    def loss_ref(q_):
+        return _smallwin_xla(q_, H, hd ** -0.5).sum()
+    np.testing.assert_allclose(np.asarray(jax.grad(loss_k)(qkv)),
+                               np.asarray(jax.grad(loss_ref)(qkv)),
+                               atol=2e-5, rtol=2e-5)
+
+    # dispatcher: odd window counts (NW % (128//S) != 0) fall back to XLA
+    qkv_odd = jnp.asarray(rng.randn(3, 64, 3 * 2 * 72), jnp.float32)
+    out = attention_packed_qkv_smallwin(qkv_odd, 2, 72)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_smallwin_xla(qkv_odd, 2,
+                                                        72 ** -0.5)),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_patch_embed_im2col_matches_conv():
     """Hiera 7x7/s4/p3 patch embed: the space-to-depth + matmul path must be
     arithmetically identical to the overlapping conv (models/sam2/hiera.py)."""

@@ -54,7 +54,8 @@ class LlamaDecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, positions, cache, kv_lens, layer_idx=None):
+    def __call__(self, x, positions, cache, kv_lens, layer_idx=None,
+                 self_contained: bool = False):
         cfg = self.cfg
         B, S, _ = x.shape
         nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -76,7 +77,16 @@ class LlamaDecoderLayer(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if cache is not None:
+        if cache is not None and self_contained:
+            # pure prefill from position 0: attention runs on the fresh
+            # k/v (they are the whole prefix); cache is write-only — see
+            # models/phi3.py for the layout/bandwidth rationale
+            cache = kvcache.write(cache, layer_idx, k,
+                                  v.transpose(0, 2, 1, 3), positions[:, 0])
+            k_att = k
+            v_att = v.transpose(0, 2, 1, 3)
+            k_scale = v_scale = None
+        elif cache is not None:
             cache, k_att, v_att, k_scale, v_scale = kvcache.update_and_fetch(
                 cache, layer_idx, k, v.transpose(0, 2, 1, 3),
                 positions[:, 0], self.dtype)
@@ -133,9 +143,16 @@ class LlamaForCausalLM(nn.Module):
     def embed(self, input_ids):
         return self.embed_tokens(jnp.maximum(input_ids, 0))
 
-    @nn.compact
     def forward_hidden(self, embeds, positions, kv_lens, cache=None):
-        """Decoder without lm_head (see Phi3ForCausalLM.forward_hidden)."""
+        """Decoder without lm_head (see Phi3ForCausalLM.forward_hidden).
+        With a cache this is the PREFILL entry (generate.py): attention
+        runs self-contained on the fresh k/v and the cache is write-only."""
+        return self._forward(embeds, positions, kv_lens, cache,
+                             self_contained=cache is not None)
+
+    @nn.compact
+    def _forward(self, embeds, positions, kv_lens, cache=None,
+                 self_contained: bool = False):
         cfg = self.cfg
         layer_cls = LlamaDecoderLayer
         if self.remat:
@@ -147,7 +164,8 @@ class LlamaForCausalLM(nn.Module):
         if cache is not None:
             def body(mdl, carry, l):
                 y, c = carry
-                y, c = mdl(y, positions, c, kv_lens, l)
+                y, c = mdl(y, positions, c, kv_lens, l,
+                           self_contained=self_contained)
                 return (y, c), None
             scan = nn.scan(body, variable_axes={"params": 0},
                            split_rngs={"params": True},
@@ -171,7 +189,7 @@ class LlamaForCausalLM(nn.Module):
         return self.lm_head(hidden)
 
     def __call__(self, embeds, positions, kv_lens, cache=None):
-        x, new_cache = self.forward_hidden(embeds, positions, kv_lens, cache)
+        x, new_cache = self._forward(embeds, positions, kv_lens, cache)
         return self.lm_head(x), x, new_cache
 
     def forward_ids(self, input_ids, positions, kv_lens, cache=None):

@@ -63,7 +63,8 @@ class Phi3DecoderLayer(nn.Module):
         return Dense(features, use_bias=False, dtype=self.dtype, name=name)
 
     @nn.compact
-    def __call__(self, x, positions, cache, kv_lens, layer_idx=None):
+    def __call__(self, x, positions, cache, kv_lens, layer_idx=None,
+                 self_contained: bool = False):
         """x: [B, S, D]; positions: [B, S]; kv_lens: [B] (total valid KV
         after this block's tokens are appended); cache: the FULL stacked
         [L, B, Hkv, C, hd] cache pytree (or None) with `layer_idx` selecting
@@ -99,7 +100,19 @@ class Phi3DecoderLayer(nn.Module):
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)                          # [B,nkv,S,hd]
 
-        if cache is not None:
+        if cache is not None and self_contained:
+            # pure prefill from position 0 (forward_hidden): this block's
+            # k/v ARE the whole prefix, so attention consumes them directly
+            # and the cache is write-only. The old write-then-read-back
+            # forced a token-minor layout onto the prefill scan carry and
+            # an 85 GB/s dynamic-update-slice (~7.8 ms/clip), plus a
+            # dequantized int8 round-trip the attention never needed.
+            cache = kvcache.write(cache, layer_idx, k,
+                                  v.transpose(0, 2, 1, 3), positions[:, 0])
+            k_att = k
+            v_att = v.transpose(0, 2, 1, 3)
+            k_scale = v_scale = None
+        elif cache is not None:
             # positions are contiguous per row (arange for prefill, a single
             # slot for decode): write via in-place dynamic slices at each
             # row's start position — no scatter, no cache transpose
@@ -150,7 +163,8 @@ class Phi3Model(nn.Module):
     quant_int4: bool = False
 
     @nn.compact
-    def __call__(self, embeds, positions, kv_lens, cache=None):
+    def __call__(self, embeds, positions, kv_lens, cache=None,
+                 self_contained: bool = False):
         cfg = self.cfg
         layer_cls = Phi3DecoderLayer
         if self.remat:
@@ -165,7 +179,8 @@ class Phi3Model(nn.Module):
             # in-place slices, not per-layer stacked-output materializations
             def body(mdl, carry, l):
                 y, c = carry
-                y, c = mdl(y, positions, c, kv_lens, l)
+                y, c = mdl(y, positions, c, kv_lens, l,
+                           self_contained=self_contained)
                 return (y, c), None
             scan = nn.scan(body, variable_axes={"params": 0},
                            split_rngs={"params": True}, length=cfg.num_layers)
@@ -228,8 +243,11 @@ class Phi3ForCausalLM(nn.Module):
     def forward_hidden(self, embeds, positions, kv_lens, cache=None):
         """Decoder without lm_head — prefill only needs the LAST position's
         logits; projecting all ~3.4k positions through the 32k-vocab head
-        costs ~3.5 ms at flagship scale."""
-        return self.model(embeds, positions, kv_lens, cache)
+        costs ~3.5 ms at flagship scale. With a cache this IS the prefill
+        entry (generate.py), so attention runs self-contained on the fresh
+        k/v and the cache is write-only."""
+        return self.model(embeds, positions, kv_lens, cache,
+                          self_contained=cache is not None)
 
     def head(self, hidden):
         return self.lm_head(hidden)

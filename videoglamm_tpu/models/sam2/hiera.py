@@ -164,6 +164,29 @@ class MultiScaleAttention(nn.Module):
         nh = self.num_heads
         hd = self.dim_out // nh
 
+        if (not self.q_pool and self.window_size > 0 and H * W in (16, 64)
+                and hd <= 128 and B >= 512 and B % (128 // (H * W)) == 0):
+            # tiny windows (stages 1/2: 16/64 tokens, thousands of windows):
+            # the packed-tile kernel folds tile//S windows into full MXU
+            # tiles with heads at their NATURAL lane offsets — no head-pad
+            # activation bandwidth (which sinks the super-window path at
+            # these sizes) and no f32 logits/transpose copies in HBM (the
+            # XLA path ran stage 1 at ~12x its roofline at the bench shape).
+            # Projections run on the FLAT 2D [NW*S, C] view: on batched 3D/
+            # 4D shapes XLA picks a batch-minor ({0,2,1}) layout for the
+            # matmul outputs and inserts full relayout copies around the
+            # Pallas call plus a separate bias fusion (measured ~4 ms/block
+            # at stage 1); a plain 2D matmul stays row-major end to end.
+            from ...ops.attention import attention_packed_qkv_smallwin
+            S = H * W
+            qkv = Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(
+                x.reshape(B * S, x.shape[-1]))
+            o = attention_packed_qkv_smallwin(
+                qkv.reshape(B, S, 3 * self.dim_out), nh, hd)
+            o = Dense(self.dim_out, dtype=self.dtype, name="proj")(
+                o.reshape(B * S, self.dim_out))
+            return o.reshape(B, H, W, self.dim_out)
+
         if not self.q_pool and 0 < self.window_size and H * W <= 1536 \
                 and hd <= 128 and H * W >= _SUPERWIN_MIN:
             # windowed blocks (stages 1-4): head-padded projections fold

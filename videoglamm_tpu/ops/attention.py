@@ -566,6 +566,139 @@ _window_attention.defvjp(_window_attention_fwd_rule,
 
 
 # ---------------------------------------------------------------------------
+# Tiny-window attention (windows packed into full 128-sublane MXU tiles)
+# ---------------------------------------------------------------------------
+def _smallwin_kernel(x_ref, o_ref, *, sm_scale: float, S: int, H: int,
+                     hd: int, P: int, T: int, tile: int):
+    """Block-diagonal attention over S-token windows, S in {16, 32, 64}.
+
+    x_ref: [F, S, 3*H*hd] fused-qkv windows (P = tile // S windows pack one
+    tile-row MXU group; F = P*T windows per program). Heads live at their
+    NATURAL unpadded lane offsets — per-head operands are in-register lane
+    slices of the tile, so HBM never sees padded activations (the head-
+    padded projection route costs 1.78x activation bandwidth at hd=72,
+    which is why it loses at these window sizes). Logits exist only in
+    registers/VMEM: one [tile, tile] f32 block per (group, head) with the
+    cross-window region masked before a whole-row softmax.
+
+    `tile` trades MXU depth against VPU/FLOP waste: at tile=128 each dot is
+    pipeline-latency-bound (128 rows); bigger tiles make fewer, deeper dots
+    but mask-waste grows as tile/S on the exp/sum passes."""
+    C = H * hd
+    # static cross-window mask: row and col attend iff same S-token window
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0) // S
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1) // S
+    same_win = row == col
+    for t in range(T):
+        xt = x_ref[t * P:(t + 1) * P]                    # [P, S, 3C]
+        xt = xt.reshape(tile, 3 * C)
+        outs = []
+        for h in range(H):
+            q = xt[:, h * hd:(h + 1) * hd]
+            k = xt[:, C + h * hd:C + (h + 1) * hd]
+            v = xt[:, 2 * C + h * hd:2 * C + (h + 1) * hd]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = jnp.where(same_win, s * sm_scale, NEG_INF)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            outs.append(o / l)
+        o = outs[0] if H == 1 else jnp.concatenate(outs, axis=1)
+        o_ref[t * P:(t + 1) * P] = o.reshape(P, S, C).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "head_dim",
+                                             "sm_scale", "interpret"))
+def _smallwin_fwd(qkv, *, num_heads, head_dim, sm_scale, interpret=False):
+    NW, S, C3 = qkv.shape
+    H, hd = num_heads, head_dim
+    # MXU tile: 256 measured best at the stage-1/2 bench shapes (8192
+    # windows; ms per attention op, v5e): stage1 2.26/1.99/OOM at
+    # 128/256/512, stage2 1.47/1.29/OOM. Bigger tiles make fewer,
+    # pipeline-deeper dots but the masked-softmax VPU work grows as
+    # tile/S, and Mosaic allocates the [tile, tile] f32 logits PER
+    # unrolled (group, head) iteration — 512 blows the 16 MB scoped VMEM.
+    import os
+    tile = int(os.environ.get("VGT_SMALLWIN_TILE", "256"))
+    while tile > 128 and NW % (tile // S):
+        tile //= 2
+    P = tile // S
+    # tile groups per program: bounded by scoped VMEM — in/out blocks
+    # (double-buffered) plus per-unrolled-iteration logits/operand temps
+    # (Mosaic does not reuse scratch across the static T x H loop)
+    T = int(os.environ.get("VGT_SMALLWIN_T", "8"))
+
+    def _vmem(t):
+        blocks = P * t * S * (C3 + C3 // 3) * 2 * 2
+        temps = t * H * (tile * tile * 4 + 4 * tile * hd * 4)
+        return blocks + temps
+
+    while T > 1 and (NW % (P * T) or _vmem(T) > (12 << 20)):
+        T -= 1
+    F = P * T
+    out = pl.pallas_call(
+        functools.partial(_smallwin_kernel, sm_scale=sm_scale, S=S, H=H,
+                          hd=hd, P=P, T=T, tile=tile),
+        grid=(NW // F,),
+        in_specs=[pl.BlockSpec((F, S, C3), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((F, S, C3 // 3), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((NW, S, C3 // 3), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(qkv)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _smallwin_tpu(qkv, num_heads, head_dim, sm_scale):
+    return _smallwin_fwd(qkv, num_heads=num_heads, head_dim=head_dim,
+                         sm_scale=sm_scale)
+
+
+def _smallwin_xla(qkv, num_heads, sm_scale):
+    NW, S, C3 = qkv.shape
+    x = qkv.reshape(NW, S, 3, num_heads, C3 // (3 * num_heads))
+    return _attention_xla_bshd(x[:, :, 0], x[:, :, 1], x[:, :, 2],
+                               sm_scale).reshape(NW, S, C3 // 3)
+
+
+def _smallwin_fwd_rule(qkv, num_heads, head_dim, sm_scale):
+    return _smallwin_fwd(qkv, num_heads=num_heads, head_dim=head_dim,
+                         sm_scale=sm_scale), qkv
+
+
+def _smallwin_bwd_rule(num_heads, head_dim, sm_scale, qkv, g):
+    _, vjp = jax.vjp(lambda q: _smallwin_xla(q, num_heads, sm_scale), qkv)
+    return vjp(g)
+
+
+_smallwin_tpu.defvjp(_smallwin_fwd_rule, _smallwin_bwd_rule)
+
+
+def attention_packed_qkv_smallwin(qkv, num_heads: int, head_dim: int, *,
+                                  sm_scale: Optional[float] = None):
+    """Self-attention over tiny fixed windows straight from a fused qkv
+    projection. qkv: [NW, S, 3*H*hd] with S (tokens per window) in
+    {16, 32, 64} — each program packs 128//S windows into full 128-row MXU
+    tiles with a block-diagonal mask, so Hiera stage-1/2/4 window attention
+    never materializes f32 logits or head-transposed copies in HBM (the
+    XLA einsum path measured ~12x the per-stage roofline at the bench
+    shape). Returns [NW, S, H*hd]."""
+    NW, S, C3 = qkv.shape
+    if sm_scale is None:
+        sm_scale = head_dim ** -0.5
+    if (jax.default_backend() == "tpu" and S in (16, 32, 64)
+            and NW % (128 // S) == 0 and head_dim <= 128):
+        return _smallwin_tpu(qkv, num_heads, head_dim, float(sm_scale))
+    return _smallwin_xla(qkv, num_heads, float(sm_scale))
+
+
+# ---------------------------------------------------------------------------
 # BSHD attention (no head transposes)
 # ---------------------------------------------------------------------------
 def _bshd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale: float,
@@ -743,25 +876,28 @@ def _packed_padded_fwd(qkv, *, num_heads, sm_scale, win):
     B, S, C3 = qkv.shape
     H = num_heads
     assert C3 == 3 * H * 128, (C3, H)
-    Sp = _round_up(S, 128)
-    x = jnp.pad(qkv, ((0, 0), (0, Sp - S), (0, 0))) if Sp != S else qkv
-    G = _pick_group(H, Sp)
+    # NO token padding: the block covers the full (possibly non-128-
+    # multiple) token dim — Mosaic pads sublanes internally, and skipping
+    # the whole-array pad removes a per-layer relayout fusion (InternVideo2
+    # S=1025: 0.726 -> 0.436 ms/op measured, bit-exact). s_valid == S means
+    # the kernel applies no column mask.
+    G = _pick_group(H, _round_up(S, 128))
     nh_blocks = H // G
 
     def spec(off):
-        return pl.BlockSpec((1, Sp, G * 128), lambda b, h: (b, 0, off + h))
+        return pl.BlockSpec((1, S, G * 128), lambda b, h: (b, 0, off + h))
 
     out = pl.pallas_call(
         functools.partial(_bshd_kernel, sm_scale=sm_scale, s_valid=S, g=G,
                           win=win),
         grid=(B, nh_blocks),
         in_specs=[spec(0), spec(nh_blocks), spec(2 * nh_blocks)],
-        out_specs=pl.BlockSpec((1, Sp, G * 128), lambda b, h: (b, 0, h)),
-        out_shape=jax.ShapeDtypeStruct((B, Sp, H * 128), qkv.dtype),
+        out_specs=pl.BlockSpec((1, S, G * 128), lambda b, h: (b, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((B, S, H * 128), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
-    )(x, x, x)
-    return out[:, :S]
+    )(qkv, qkv, qkv)
+    return out
 
 
 def _packed_padded_xla(qkv, num_heads, sm_scale, win):
