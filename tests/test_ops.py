@@ -356,6 +356,50 @@ def test_smallwin_attention_interpret_matches_xla():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_fused_block_interpret_matches_ref():
+    """Whole-block fused Hiera kernel (ops/fused_block.py) in interpret
+    mode vs its jnp reference: the three Hiera-L window geometries
+    (S=64/16/256 at hd=72) plus a fold-divisor-fallback case (odd NW) and
+    an off-size head dim. Gradients route through the XLA recompute vjp."""
+    from videoglamm_tpu.ops.fused_block import (_fused_block_fwd,
+                                                _fused_block_ref,
+                                                fused_window_block)
+
+    rng = np.random.RandomState(7)
+
+    def mk(NW, S, H, hd):
+        C = H * hd
+        M = 4 * C
+        x = jnp.asarray(rng.randn(NW, S, C) * 0.5, jnp.float32)
+        p = {k: jnp.asarray(v, jnp.float32) for k, v in dict(
+            ln1_scale=rng.randn(C) * 0.1 + 1, ln1_bias=rng.randn(C) * 0.1,
+            wqkv=rng.randn(C, 3 * C) / np.sqrt(C),
+            bqkv=rng.randn(3 * C) * 0.02,
+            wproj=rng.randn(C, C) / np.sqrt(C),
+            bproj=rng.randn(C) * 0.02,
+            ln2_scale=rng.randn(C) * 0.1 + 1, ln2_bias=rng.randn(C) * 0.1,
+            wup=rng.randn(C, M) / np.sqrt(C), bup=rng.randn(M) * 0.02,
+            wdown=rng.randn(M, C) / np.sqrt(M),
+            bdown=rng.randn(C) * 0.02).items()}
+        return x, p
+
+    for (NW, S, H, hd) in [(8, 64, 2, 72), (16, 16, 4, 72),
+                           (4, 256, 8, 72), (3, 64, 2, 40)]:
+        x, p = mk(NW, S, H, hd)
+        out = _fused_block_fwd(x, p, num_heads=H, eps=1e-6, interpret=True)
+        ref = _fused_block_ref(x, p, H)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=3e-5)
+
+    # gradients: XLA recompute vjp (dispatcher runs the ref on CPU; this
+    # checks the custom_vjp plumbing end to end)
+    x, p = mk(4, 64, 2, 72)
+    g_op = jax.grad(lambda x_: fused_window_block(x_, p, 2).sum())(x)
+    g_ref = jax.grad(lambda x_: _fused_block_ref(x_, p, 2, 1e-6).sum())(x)
+    np.testing.assert_allclose(np.asarray(g_op), np.asarray(g_ref),
+                               atol=3e-5, rtol=3e-5)
+
+
 def test_patch_embed_im2col_matches_conv():
     """Hiera 7x7/s4/p3 patch embed: the space-to-depth + matmul path must be
     arithmetically identical to the overlapping conv (models/sam2/hiera.py)."""

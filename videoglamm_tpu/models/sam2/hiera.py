@@ -222,6 +222,50 @@ class MultiScaleAttention(nn.Module):
         return Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
 
 
+class _LNParams(nn.Module):
+    """Parameter-only stand-in for LayerNorm (same tree: scale, bias)."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for Dense (same tree: kernel, bias)."""
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_dim, self.features), jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32))
+
+
+class _AttnParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.dim, 3 * self.dim, name="qkv")(),
+                _DenseParams(self.dim, self.dim, name="proj")())
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.dim, self.hidden, name="fc1")(),
+                _DenseParams(self.hidden, self.dim, name="fc2")())
+
+
 class MultiScaleBlock(nn.Module):
     dim: int
     dim_out: int
@@ -240,6 +284,36 @@ class MultiScaleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        ws0 = self.window_size
+        if (self.pre_windowed and ws0 > 0 and not self.q_pool
+                and self.dim == self.dim_out
+                and ws0 * ws0 in (16, 64, 256)
+                and self.dim_out % self.num_heads == 0
+                and self.dim_out // self.num_heads <= 128):
+            # whole-block fused kernel (ops/fused_block.py): one HBM read
+            # and one write per block, weights VMEM-resident across
+            # programs. Parameter tree matches the unfused path exactly
+            # (norm1/attn.{qkv,proj}/norm2/mlp.{fc1,fc2}); on CPU the op
+            # runs its jnp reference, which is the same arithmetic as the
+            # unfused path, so golden tests cover both.
+            from ...ops.fused_block import fused_window_block
+            assert ws0 == self.pre_windowed
+            ln1 = _LNParams(self.dim, name="norm1")()
+            (wqkv, bqkv), (wproj, bproj) = _AttnParams(
+                self.dim_out, name="attn")()
+            ln2 = _LNParams(self.dim_out, name="norm2")()
+            (wup, bup), (wdown, bdown) = _MlpParams(
+                self.dim_out, int(self.dim_out * self.mlp_ratio),
+                name="mlp")()
+            NW, w_, _, C = x.shape
+            p = dict(ln1_scale=ln1[0], ln1_bias=ln1[1], wqkv=wqkv,
+                     bqkv=bqkv, wproj=wproj, bproj=bproj,
+                     ln2_scale=ln2[0], ln2_bias=ln2[1], wup=wup, bup=bup,
+                     wdown=wdown, bdown=bdown)
+            y = fused_window_block(x.reshape(NW, w_ * w_, C), p,
+                                   self.num_heads)
+            return y.reshape(NW, w_, w_, C)
+
         shortcut = x
         x = LayerNorm(eps=1e-6, name="norm1")(x)
 
