@@ -93,7 +93,7 @@ def _attention_xla(q, k, v, *, causal: bool, sm_scale: float,
 def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                   acc_ref, m_ref, l_ref,
                   *, causal: bool, sm_scale: float, block_q: int, block_k: int,
-                  sq: int):
+                  sq: int, need_lse: bool = True):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -114,9 +114,18 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     causal_live = True if not causal else (
         q_start + q_offset + block_q - 1 >= k_start)
     len_live = k_start < kv_len
+    live = jnp.logical_and(causal_live, len_live)
+    # interior blocks need NO mask at all: every column is within kv_len and
+    # (for causal) every row index >= every column index. The softmax tail
+    # is VPU-bound at prefill scale (~255M exps/layer next to ~3.4 us of MXU
+    # per block), so skipping the iota/compare/select mask chain on interior
+    # blocks is a real win, not a cleanup.
+    interior = k_start + block_k <= kv_len
+    if causal:
+        interior = jnp.logical_and(
+            interior, q_start + q_offset >= k_start + block_k - 1)
 
-    @pl.when(jnp.logical_and(causal_live, len_live))
-    def _compute():
+    def _tile(masked: bool):
         # operands stay in their storage dtype: bf16 into the MXU with f32
         # accumulation is ~8x the f32-operand throughput (and matches the
         # XLA path's preferred_element_type semantics)
@@ -125,13 +134,15 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * sm_scale
 
-        col = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = col < kv_len
-        if causal:
-            row = q_start + q_offset + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            mask = jnp.logical_and(mask, row >= col)
-        s = jnp.where(mask, s, NEG_INF)
+        if masked:
+            col = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = col < kv_len
+            if causal:
+                row = q_start + q_offset + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                mask = jnp.logical_and(mask, row >= col)
+            s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
@@ -148,15 +159,25 @@ def _flash_kernel(kvlen_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
+    @pl.when(jnp.logical_and(live, interior))
+    def _compute_interior():
+        _tile(False)
+
+    @pl.when(jnp.logical_and(live, jnp.logical_not(interior)))
+    def _compute_masked():
+        _tile(True)
+
     @pl.when(j == nk - 1)
     def _finalize():
         l = l_ref[:, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
-        # logsumexp rows for the backward (lane-broadcast layout keeps every
-        # read/write column-oriented — no 1D relayouts)
-        lse = jnp.where(l == 0.0, NEG_INF, m_ref[:, 0:1] + jnp.log(safe_l))
-        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+        if need_lse:
+            # logsumexp rows for the backward (lane-broadcast layout keeps
+            # every read/write column-oriented — no 1D relayouts)
+            lse = jnp.where(l == 0.0, NEG_INF,
+                            m_ref[:, 0:1] + jnp.log(safe_l))
+            lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _round_up(x, m):
@@ -177,9 +198,10 @@ def _pick_block(S: int, cap: int = 1152) -> int:
     return 128
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q", "block_k"))
+@functools.partial(jax.jit, static_argnames=("causal", "sm_scale", "block_q",
+                                              "block_k", "need_lse"))
 def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=None,
-               block_k=None):
+               block_k=None, need_lse=True):
     B, H, Sq, D = q.shape
     Sk = k.shape[2]
     block_q = _pick_block(Sq) if block_q is None else \
@@ -206,7 +228,19 @@ def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=None,
     grid = (B * H, Sqp // block_q, Skp // block_k)
     kernel = functools.partial(
         _flash_kernel, causal=causal, sm_scale=sm_scale,
-        block_q=block_q, block_k=block_k, sq=Sq)
+        block_q=block_q, block_k=block_k, sq=Sq, need_lse=need_lse)
+
+    if need_lse:
+        lse_spec = pl.BlockSpec((1, block_q, 128),
+                                lambda b, i, j, kvl: (b, i, 0))
+        lse_shape = jax.ShapeDtypeStruct((B * H, Sqp, 128), jnp.float32)
+    else:
+        # inference path: the lse rows are never read — route every grid
+        # step's (unwritten) lse block to one tiny aliased buffer so the
+        # pipeline stops streaming ~56 MB of f32 rows per layer to HBM
+        lse_spec = pl.BlockSpec((1, block_q, 128),
+                                lambda b, i, j, kvl: (0, 0, 0))
+        lse_shape = jax.ShapeDtypeStruct((1, block_q, 128), jnp.float32)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -221,8 +255,7 @@ def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=None,
             out_specs=[
                 pl.BlockSpec((1, block_q, Dp),
                              lambda b, i, j, kvl: (b, i, 0)),
-                pl.BlockSpec((1, block_q, 128),
-                             lambda b, i, j, kvl: (b, i, 0)),
+                lse_spec,
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_q, Dp), jnp.float32),
@@ -232,13 +265,14 @@ def _flash_fwd(q, k, v, kv_lens, q_start, *, causal, sm_scale, block_q=None,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Sqp, 128), jnp.float32),
+            lse_shape,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(scalars, qp, kp, vp)
 
-    return out.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D], lse[:, :, :1]
+    out = out.reshape(B, H, Sqp, Dp)[:, :, :Sq, :D]
+    return out, (lse[:, :, :1] if need_lse else None)
 
 
 # ---------------------------------------------------------------------------
@@ -445,7 +479,7 @@ def _flash_bwd(q, k, v, kv_lens, q_start, out, lse, g, *, causal, sm_scale,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _flash_attention_custom(q, k, v, kv_lens, q_start, causal, sm_scale):
     out, _ = _flash_fwd(q, k, v, kv_lens, q_start, causal=causal,
-                        sm_scale=sm_scale)
+                        sm_scale=sm_scale, need_lse=False)
     return out
 
 
