@@ -113,9 +113,80 @@ def rms_norm(x, weight, eps: float = 1e-6):
     return _rms_norm_ref(x, weight, eps)
 
 
+def _ln_kernel(x_ref, w_ref, b_ref, o_ref, *, eps, d, has_bias):
+    x = x_ref[:].astype(jnp.float32)
+    mean = jnp.sum(x, axis=-1, keepdims=True) / d
+    xc = x - mean
+    var = jnp.sum(xc * xc, axis=-1, keepdims=True) / d
+    y = xc * jax.lax.rsqrt(var + eps) * w_ref[:].astype(jnp.float32)
+    if has_bias:
+        y = y + b_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "block_rows"))
+def _layer_norm_pallas(x, weight, bias, eps: float, block_rows: int = 256):
+    # keep the caller's 3D layout: flattening [B, R, d] with a non-sublane-
+    # aligned R (CLIP's 577) into [B*R, d] forces a physical relayout copy
+    # that costs more than the norm itself. Grid = (B, ceil(R/block)); edge
+    # blocks are implicitly padded by Pallas and the stats are row-local,
+    # so padded rows never pollute valid ones.
+    d = x.shape[-1]
+    x3 = x.reshape(-1, x.shape[-2] if x.ndim >= 2 else 1, d) \
+        if x.ndim != 3 else x
+    B, R, _ = x3.shape
+    block_rows = min(block_rows, _round_up(R, 8))
+    nb = -(-R // block_rows)
+    has_bias = bias is not None
+    args = (x3, weight) + ((bias,) if has_bias else (weight,))
+    out = pl.pallas_call(
+        functools.partial(_ln_kernel, eps=eps, d=d, has_bias=has_bias),
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec((1, block_rows, d), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda b, i: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_rows, d), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
+    )(*args)
+    return out.reshape(x.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm_tpu(x, weight, bias, eps):
+    return _layer_norm_pallas(x, weight, bias, eps)
+
+
+def _ln_fwd(x, weight, bias, eps):
+    return _layer_norm_pallas(x, weight, bias, eps), (x, weight, bias)
+
+
+def _ln_bwd(eps, res, g):
+    x, weight, bias = res
+    _, vjp = jax.vjp(lambda x, w, b: _layer_norm_ref(x, w, b, eps),
+                     x, weight, bias)
+    return vjp(g)
+
+
+_layer_norm_tpu.defvjp(_ln_fwd, _ln_bwd)
+
+
 def layer_norm(x, weight, bias=None, eps: float = 1e-5):
-    """LayerNorm over the last dim. Stays on XLA everywhere: a fused Pallas
-    kernel was tried and measured SLOWER in-model (it breaks XLA's fusion
-    of the norm into neighboring elementwise ops, adding materialization
-    boundaries — SAM encode regressed 244 -> 265 ms / 8 frames)."""
+    """LayerNorm over the last dim.
+
+    Lane-aligned widths (d % 128 == 0) big enough to amortize a kernel
+    launch take a fused single-pass Pallas kernel: XLA lowers the f32-stats
+    two-pass norm to a ~90 GB/s kLoop fusion (0.44 ms per [16,577,1024]
+    call in CLIP — 21 ms of the 49 ms tower). Narrow unaligned widths
+    (Hiera's 144/288/576 spatial LNs) stay on XLA, where the norm fuses
+    into neighboring elementwise ops and the Pallas pad would dominate
+    (SAM encode measured 244 -> 265 ms / 8 frames on an earlier
+    all-Pallas attempt)."""
+    d = x.shape[-1]
+    if (jax.default_backend() == "tpu" and d % 128 == 0
+            and x.size >= (1 << 16)):
+        return _layer_norm_tpu(x, weight, bias, float(eps))
     return _layer_norm_ref(x, weight, bias, eps)
