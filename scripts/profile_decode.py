@@ -44,6 +44,8 @@ def main():
                     help="int8 KV cache (the serving default)")
     ap.add_argument("--tokens", type=int, default=32)
     ap.add_argument("--cache_len", type=int, default=3520)
+    ap.add_argument("--full_only", action="store_true",
+                    help="only the full scan-decode timing (skip pieces)")
     args = ap.parse_args()
     int8 = not args.bf16
 
@@ -91,6 +93,8 @@ def main():
     tok0 = jnp.zeros((B,), jnp.int32)
     ms = timeit(decode_n, params, cache, tok0, n=4)
     print(f"full decode: {ms/N:.2f} ms/token  ({N} tokens scanned)")
+    if args.full_only:
+        return
 
     # ---- isolated pieces ----------------------------------------------
     D, I = cfg.hidden_size, cfg.intermediate_size

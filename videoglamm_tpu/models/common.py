@@ -29,10 +29,13 @@ class RMSNorm(nn.Module):
     eps: float = 1e-6
 
     @nn.compact
+    def weight(self, d):
+        """Raw scale param — lets fused decode kernels consume the norm
+        weight directly (ops/decode_mlp.py) without changing the tree."""
+        return self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+
     def __call__(self, x):
-        d = x.shape[-1]
-        w = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
-        return rms_norm(x, w, eps=self.eps)
+        return rms_norm(x, self.weight(x.shape[-1]), eps=self.eps)
 
 
 class QDense(nn.Module):
@@ -43,12 +46,18 @@ class QDense(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
-        from ..ops.quant import dequant_matmul
+    def weights(self, in_features):
+        """Raw (kernel int8, scale f32) params — consumed directly by the
+        fused decode kernels (ops/decode_mlp.py); same tree as __call__."""
         k = self.param("kernel", nn.initializers.zeros,
-                       (x.shape[-1], self.features), jnp.int8)
+                       (in_features, self.features), jnp.int8)
         s = self.param("scale", nn.initializers.ones, (self.features,),
                        jnp.float32)
+        return k, s
+
+    def __call__(self, x):
+        from ..ops.quant import dequant_matmul
+        k, s = self.weights(x.shape[-1])
         return dequant_matmul(x.astype(self.dtype), k, s)
 
 
