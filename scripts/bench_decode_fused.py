@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from videoglamm_tpu.ops import decode_mlp as dm
+import decode_mlp_experiment as dm
 
 L = 32
 K, I, D = 3072, 8192, 3072

@@ -14,9 +14,9 @@ bubble-bound — it runs the 4.3 GB/step stream at ~605 GB/s effective
 (9.26 ms/token full decode; isolated 32-layer MLP scan 232 us/layer XLA vs
 253 fused / 238 w8a8 — scripts/bench_decode_fused.py). XLA feeds int8
 operands to the dot without a separate VPU convert pass and overlaps the
-weight stream across op boundaries, so the fused path defaults OFF
-(fused_decode_enabled, VGT_FUSED_DECODE=1 opts in) and is kept as a
-documented experiment.
+weight stream across op boundaries, so these kernels were DEMOTED from the
+production tree (videoglamm_tpu/ops/) to this standalone experiment script;
+scripts/bench_decode_fused.py is the A/B harness that produced the numbers.
 
 The three Pallas programs per layer:
 

@@ -31,7 +31,7 @@ class RMSNorm(nn.Module):
     @nn.compact
     def weight(self, d):
         """Raw scale param — lets fused decode kernels consume the norm
-        weight directly (ops/decode_mlp.py) without changing the tree."""
+        weight directly (scripts/decode_mlp_experiment.py) without changing the tree."""
         return self.param("scale", nn.initializers.ones, (d,), jnp.float32)
 
     def __call__(self, x):
@@ -48,7 +48,7 @@ class QDense(nn.Module):
     @nn.compact
     def weights(self, in_features):
         """Raw (kernel int8, scale f32) params — consumed directly by the
-        fused decode kernels (ops/decode_mlp.py); same tree as __call__."""
+        fused decode kernels (scripts/decode_mlp_experiment.py); same tree as __call__."""
         k = self.param("kernel", nn.initializers.zeros,
                        (in_features, self.features), jnp.int8)
         s = self.param("scale", nn.initializers.ones, (self.features,),

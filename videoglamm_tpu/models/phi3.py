@@ -23,8 +23,6 @@ import flax.linen as nn
 
 from ..config import Phi3Config
 from ..ops import dot_product_attention
-from ..ops.decode_mlp import (fused_decode_enabled, fused_decode_mlp_int8,
-                              fused_norm_matmul_int8, matmul_residual_int8)
 from ..ops.rope import apply_rope, rope_cos_sin
 from . import kvcache
 from .common import Dense, QDense, QDense4, RMSNorm
@@ -80,25 +78,16 @@ class Phi3DecoderLayer(nn.Module):
         D = cfg.hidden_size
         nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-        # decode-step fusion (int8 serving, no LoRA): three Pallas programs
-        # per layer — norm+qkv, o_proj+residual, norm+glu-MLP+residual.
-        # EXPERIMENTAL, default off: the op-by-op XLA decode measured FASTER
-        # (7.11 vs 9.26 ms/token at flagship scale — XLA already streams the
-        # int8 weights at ~605 GB/s effective with no bubbles to reclaim);
-        # see ops/decode_mlp.py for the full measurement.
-        fused = (self.quant_int8 and self.lora_rank == 0 and S == 1
-                 and cache is not None and not self_contained
-                 and fused_decode_enabled())
-
+        # NOTE: a fused decode-layer experiment (three Pallas programs per
+        # layer: norm+qkv, o_proj+residual, norm+glu-MLP+residual) measured
+        # SLOWER than this op-by-op XLA path (9.26 vs 7.11 ms/token at
+        # flagship scale — XLA already streams the int8 weights at ~605 GB/s
+        # effective with no bubbles to reclaim). The kernels live in
+        # scripts/decode_mlp_experiment.py with their A/B harness.
         in_norm = RMSNorm(eps=cfg.rms_norm_eps, name="input_layernorm")
         qkv_proj = self._proj((nh + 2 * nkv) * hd, "qkv_proj")
-        if fused:
-            qkv_k, qkv_s = qkv_proj.weights(D)
-            qkv = fused_norm_matmul_int8(x, in_norm.weight(D), qkv_k, qkv_s,
-                                         eps=cfg.rms_norm_eps)
-        else:
-            h = in_norm(x)
-            qkv = qkv_proj(h)
+        h = in_norm(x)
+        qkv = qkv_proj(h)
         q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
         if self.lora_rank > 0:
             scale = self.lora_alpha / self.lora_rank
@@ -164,15 +153,6 @@ class Phi3DecoderLayer(nn.Module):
                             name="post_attention_layernorm")
         gu_proj = self._proj(2 * cfg.intermediate_size, "gate_up_proj")
         dn_proj = self._proj(cfg.hidden_size, "down_proj")
-        if fused:
-            o_k, o_s = o_proj.weights(nh * hd)
-            x = matmul_residual_int8(o, o_k, o_s, x)
-            gu_k, gu_s = gu_proj.weights(D)
-            dn_k, dn_s = dn_proj.weights(cfg.intermediate_size)
-            x = fused_decode_mlp_int8(x, post_norm.weight(D), gu_k, gu_s,
-                                      dn_k, dn_s, eps=cfg.rms_norm_eps)
-            return x, cache
-
         x = x + o_proj(o)
         h = post_norm(x)
         gu = gu_proj(h)
