@@ -124,6 +124,9 @@ def build_reference_sam2(cfg, seed: int = 0):
     model = SAM2Base(
         image_encoder=image_encoder, memory_attention=memory_attention,
         memory_encoder=memory_encoder, num_maskmem=cfg.num_maskmem,
+        max_obj_ptrs_in_encoder=cfg.max_obj_ptrs_in_encoder,
+        memory_temporal_stride_for_eval=cfg.memory_temporal_stride_for_eval,
+        max_cond_frames_in_attn=cfg.max_cond_frames_in_attn,
         image_size=cfg.image_size, backbone_stride=16,
         sigmoid_scale_for_mem_enc=cfg.sigmoid_scale_for_mem_enc,
         sigmoid_bias_for_mem_enc=cfg.sigmoid_bias_for_mem_enc,

@@ -15,6 +15,8 @@ from videoglamm_tpu.models import VideoGLaMM
 from test_data import FakeTokenizer
 from test_videoglamm import CFG, make_batch
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_loadout():

@@ -14,6 +14,8 @@ from videoglamm_tpu.models.internvideo2 import (InternVideo2Tower,
 
 from ref_internvideo2 import build_reference_internvideo2
 
+pytestmark = pytest.mark.golden
+
 CFG = InternVideo2Config.tiny()
 
 

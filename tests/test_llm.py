@@ -35,6 +35,7 @@ def test_forward_shapes(model_and_params):
     assert hidden.shape == (B, S, CFG.hidden_size)
 
 
+@pytest.mark.slow
 def test_kv_cache_decode_matches_full(model_and_params):
     model, params = model_and_params
     B, S = 2, 10
@@ -67,6 +68,7 @@ def test_kv_cache_decode_matches_full(model_and_params):
                                atol=2e-4, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_int8_kv_cache_decode_close_to_full(model_and_params):
     """Quantized (int8 per-token/head) KV cache decode tracks the full
     forward within int8 quantization error (models/kvcache.py)."""
@@ -99,6 +101,7 @@ def test_int8_kv_cache_decode_close_to_full(model_and_params):
     assert (got.argmax(-1) == ref.argmax(-1)).mean() >= 0.9
 
 
+@pytest.mark.golden
 def test_phi3_matches_hf_transformers():
     """Golden parity: random tiny HF Phi3 -> import -> same logits."""
     import torch
@@ -177,6 +180,7 @@ def test_clip_tower_shapes():
     assert feats.shape == (2, cfg.num_patches, cfg.hidden_size)
 
 
+@pytest.mark.golden
 def test_clip_tower_matches_hf():
     """Golden parity for the CLIP tower against HF CLIPVisionModel."""
     import torch
@@ -211,6 +215,7 @@ def test_clip_tower_matches_hf():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4, rtol=2e-3)
 
 
+@pytest.mark.golden
 def test_llama_matches_hf_transformers():
     """Golden parity: tiny HF Llama (with llama3 rope scaling) -> import ->
     same logits."""

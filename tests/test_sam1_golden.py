@@ -14,6 +14,8 @@ from videoglamm_tpu.config import SAM1Config
 from videoglamm_tpu.io.import_torch import import_sam1
 from videoglamm_tpu.models.sam1 import SAM1
 
+pytestmark = pytest.mark.golden
+
 REF = "/root/reference/VideoGLaMM"
 
 CFG = SAM1Config(image_size=64, encoder_embed_dim=32, encoder_depth=3,

@@ -14,6 +14,8 @@ from videoglamm_tpu.models.sam2.video_predictor import track_video
 
 from ref_sam2 import build_reference_sam2
 
+pytestmark = [pytest.mark.golden, pytest.mark.slow]
+
 CFG = SAM2Config(
     hiera=HieraConfig(embed_dim=16, num_heads=1, stages=(1, 2, 2, 1),
                       global_att_blocks=(4,), window_spec=(4, 2, 2, 2)),
@@ -61,9 +63,32 @@ def _ref_track(ref, frames, text, n_obj):
     return np.stack(outs, axis=1)  # [n_obj, T, 4E, 4E]
 
 
-def test_full_video_tracking_golden(models):
+@pytest.mark.parametrize(
+    "T,stride,max_ptrs",
+    [
+        # short clip, no eviction: the regime of the original golden test
+        (4, 1, 16),
+        # WRAPAROUND regime (what DAVIS/MeViS clips actually run): with
+        # num_maskmem=7 the 6-slot ring wraps from t=7, memories are evicted
+        # every step, and max_ptrs=4 caps the obj-ptr window so its validity
+        # mask diverges from trivial
+        (16, 1, 4),
+        # strided memory bank (memory_temporal_stride_for_eval=2, the XMem/
+        # Cutie `r`; reference sam2_base.py:535-559 floor-aligned selection)
+        (16, 2, 4),
+    ])
+def test_full_video_tracking_golden(models, T, stride, max_ptrs):
+    import dataclasses
     ref, model, params = models
-    T, n_obj = 4, 2
+    # the knobs are selection-only — no weights depend on them — so the
+    # module-scope ref/params are reused with mutated attrs / replaced config
+    ref.max_obj_ptrs_in_encoder = max_ptrs
+    ref.memory_temporal_stride_for_eval = stride
+    cfg = dataclasses.replace(CFG, max_obj_ptrs_in_encoder=max_ptrs,
+                              memory_temporal_stride_for_eval=stride)
+    model = type(model)(cfg, dtype=jnp.float32)
+
+    n_obj = 2
     rng = np.random.RandomState(0)
     frames = rng.randn(T, CFG.image_size, CFG.image_size, 3).astype(
         np.float32)

@@ -12,6 +12,8 @@ from videoglamm_tpu.models.sam2.hiera import Hiera
 
 from ref_sam2 import load_reference_sam2
 
+pytestmark = pytest.mark.golden
+
 TINY = HieraConfig(embed_dim=16, num_heads=1, stages=(1, 2, 2, 1),
                    global_att_blocks=(4,), window_spec=(4, 2, 2, 2))
 

@@ -19,6 +19,7 @@ from videoglamm_tpu.training.trainer import (Trainer, validate_reasonseg,
 from test_videoglamm import CFG, make_batch
 
 
+@pytest.mark.slow
 def test_trainer_loop_and_resume(tmp_path):
     model = VideoGLaMM(CFG, dtype=jnp.float32)
     batch = make_batch(np.random.RandomState(0))

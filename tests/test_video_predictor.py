@@ -9,7 +9,7 @@ from videoglamm_tpu.config import SAM2Config, VideoGLaMMConfig
 from videoglamm_tpu.models import VideoGLaMM
 from videoglamm_tpu.models.sam2.sam2_base import SAM2Base
 from videoglamm_tpu.models.sam2.video_predictor import (
-    MemoryBank, assemble_memory, init_bank, track_video)
+    MemoryBank, assemble_memory, init_bank, num_mem_slots, track_video)
 
 from test_videoglamm import CFG, make_batch
 
@@ -29,9 +29,17 @@ def test_assemble_memory_mask_logic(sam_and_params):
     cfg = SCFG
     B = 2
     E2 = cfg.low_res_size ** 2
-    R = cfg.num_maskmem - 1
+    M = cfg.num_maskmem - 1          # non-cond memory blocks in the output
+    S = num_mem_slots(cfg)           # ring slots (== M at stride r=1)
     P = cfg.max_obj_ptrs_in_encoder - 1
     split = cfg.d_model // cfg.mem_dim
+
+    def place(frames, n_slots):
+        """Key each held frame into its ring slot (frame % n_slots)."""
+        arr = np.full((B, n_slots), -1)
+        for f in frames:
+            arr[:, f % n_slots] = f
+        return arr
 
     def run(t, mem_frames, ptr_frames, num_frames):
         def fn(mdl):
@@ -46,41 +54,51 @@ def test_assemble_memory_mask_logic(sam_and_params):
         return model.apply(params, method=fn)
 
     # t=1: no non-cond memory yet -> only cond block + cond ptr valid
-    mem, pos, kv, nptr = run(1, np.full((B, R), -1), np.full((B, P), -1), 8)
+    mem, pos, kv, nptr = run(1, np.full((B, S), -1), np.full((B, P), -1), 8)
     kv = np.asarray(kv)
-    assert mem.shape[1] == (R + 1) * E2 + (P + 1) * split
+    assert mem.shape[1] == (M + 1) * E2 + (P + 1) * split
     assert nptr == (P + 1) * split
     assert kv[:, :E2].all()                       # cond spatial
-    assert not kv[:, E2:(R + 1) * E2].any()       # empty ring
-    ptr_region = kv[:, (R + 1) * E2:]
+    assert not kv[:, E2:(M + 1) * E2].any()       # empty ring
+    ptr_region = kv[:, (M + 1) * E2:]
     assert ptr_region[:, :split].all()            # cond ptr
     assert not ptr_region[:, split:].any()
 
-    # t=9 with ring holding frames 3..8: all R slots valid (ages 1..6)
-    mem_frames = np.tile(np.array([[3, 4, 5, 6, 7, 8]]), (B, 1))
-    ptr_frames = np.tile(np.arange(1, P + 1)[None], (B, 1))
+    # t=9 with ring holding frames 3..8: every wanted frame (8,7,..,3 at
+    # t_rel 1..6) present -> all M blocks valid
+    mem_frames = place(range(3, 9), S)
+    ptr_frames = place(range(1, 9), P)
     _, _, kv, _ = run(9, mem_frames, ptr_frames, 32)
     kv = np.asarray(kv)
-    spatial = kv[:, :(R + 1) * E2].reshape(B, R + 1, E2)
+    spatial = kv[:, :(M + 1) * E2].reshape(B, M + 1, E2)
     assert spatial.all()
-    # ptr ages = 9 - f; valid iff 1 <= age <= 15: frames 1..8 qualify,
-    # frames 10..15 lie in the future (age < 1) -> masked
-    ptr_region = kv[:, (R + 1) * E2:].reshape(B, P + 1, split)
+    # ptr block j>=1 wants frame t-j: frames 8..1 held -> diffs 1..8 valid,
+    # diffs 9..15 want frames 0..-6 (cond/negative) -> masked
+    ptr_region = kv[:, (M + 1) * E2:].reshape(B, P + 1, split)
     assert ptr_region[:, 0].all()                  # cond
-    assert ptr_region[:, 1:9].all()                # frames 1..8
-    assert not ptr_region[:, 9:].any()             # frames 9..15 invalid/future
+    assert ptr_region[:, 1:9].all()                # frames 8..1
+    assert not ptr_region[:, 9:].any()
 
-    # short video: num_frames=4 caps obj ptrs at age <= 3
-    mem_frames = np.tile(np.array([[1, 2, 3, -1, -1, -1]]), (B, 1))
-    ptr_frames = np.full((B, P), -1)
-    ptr_frames[:, 0] = 1   # age 3 at t=4? t=4: age=3 <= min(4,16)-1=3 ok
+    # stale slot: ring holds frame 2 where frame 8 (= 2 + S at r=1) should
+    # live -> the equality gather must mask it out
+    mem_frames = place([2, *range(3, 8)], S)
+    _, _, kv, _ = run(9, mem_frames, ptr_frames, 32)
+    spatial = np.asarray(kv)[:, :(M + 1) * E2].reshape(B, M + 1, E2)
+    assert not spatial[:, 1].any()                 # t_rel 1 wants 8, holds 2
+    assert spatial[:, 2:].all()                    # 7..3 still valid
+
+    # short video: num_frames=4 caps obj ptrs at diff <= min(4,16)-1 = 3
+    mem_frames = place([1, 2, 3], S)
+    ptr_frames = place([1], P)
     _, _, kv, _ = run(4, mem_frames, ptr_frames, 4)
     kv = np.asarray(kv)
-    spatial = kv[:, :(R + 1) * E2].reshape(B, R + 1, E2)
+    spatial = kv[:, :(M + 1) * E2].reshape(B, M + 1, E2)
     assert spatial[:, 0].all() and spatial[:, 1:4].all()
     assert not spatial[:, 4:].any()
-    ptr_region = kv[:, (R + 1) * E2:].reshape(B, P + 1, split)
-    assert ptr_region[:, 0].all() and ptr_region[:, 1].all()
+    ptr_region = kv[:, (M + 1) * E2:].reshape(B, P + 1, split)
+    assert ptr_region[:, 0].all()
+    assert ptr_region[:, 3].all()                  # diff 3 -> frame 1
+    assert not ptr_region[:, 1:3].any() and not ptr_region[:, 4:].any()
 
 
 def test_track_video_shapes(sam_and_params):

@@ -225,6 +225,12 @@ class SAM2Config:
     memory_rope_theta: float = 10000.0
     memory_rope_feat_sizes: Tuple[int, int] = (32, 32)
     max_obj_ptrs_in_encoder: int = 16
+    # eval-time memory-bank temporal stride (the `r` of XMem/Cutie; reference
+    # sam2_base.py:58-61,535-559) and the cap on cond frames cross-attended
+    # per tracked frame (-1 = all; reference sam2_base.py:37-39 +
+    # sam2_utils.py select_closest_cond_frames)
+    memory_temporal_stride_for_eval: int = 1
+    max_cond_frames_in_attn: int = -1
     # behavior flags (mirroring sam2_hiera_l.yaml:90-117)
     sigmoid_scale_for_mem_enc: float = 20.0
     sigmoid_bias_for_mem_enc: float = -10.0

@@ -7,8 +7,10 @@ the path VideoGLaMM actually drives (inference_video_branch,
 model/VideoGLaMM.py:770-879): one `add_new_text` prompt per object on frame 0,
 then forward `propagate_in_video`. Per tracked frame t:
 - memory bank = cond-frame memory (t_pos=0, tpos index num_maskmem-1) +
-  the last num_maskmem-1 non-cond frame memories (frame t-k gets tpos index
-  k-1), + object pointers from the cond frame and the last
+  num_maskmem-1 prior non-cond frame memories — the immediately previous
+  frame plus every-r-th strided frames (`memory_temporal_stride_for_eval`,
+  sam2_base.py:535-559; r=1 means the last num_maskmem-1 frames, frame t-k
+  at tpos index k-1) — + object pointers from the cond frame and the last
   max_obj_ptrs_in_encoder-1 frames, each 256-d pointer split into
   C/mem_dim=4 64-d tokens with zero pos (add_tpos_enc_to_obj_ptrs=False)
   (sam2_base.py:519-638);
@@ -17,14 +19,23 @@ then forward `propagate_in_video`. Per tracked frame t:
 
 TPU-first redesign: the reference keeps per-frame python dicts with
 data-dependent memory selection; here the bank is a fixed-shape ring buffer
-([num_maskmem-1] spatial-memory slots keyed by frame_idx % ring, object
-pointers likewise) and invalid slots are handled by the attention kv_mask, so
-the whole propagation is ONE compiled `lax.scan` over pre-encoded (batched)
-frame features.
+(memories keyed by frame_idx % num_slots, object pointers likewise) and the
+per-frame selection is a static-shape GATHER of the wanted frame indices —
+the reference's dict lookups become `held_frame == wanted_frame` validity
+masks consumed by the attention kv_mask — so the whole propagation is ONE
+compiled `lax.scan` over pre-encoded (batched) frame features. The ring holds
+(num_maskmem-2)*r + 1 slots: exactly the window the strided selection can
+reach, so distinct wanted frames never collide in a slot.
+
+`reverse=True` mirrors the reference's `track_in_reverse` selection (the
+ceil-aligned strided window AFTER the current frame, sam2_base.py:540-559)
+for the interactive predictor's backward propagation.
 """
 from __future__ import annotations
 
 from typing import NamedTuple, Tuple
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -35,8 +46,8 @@ from .sam2_base import SAM2Base, SamHeadsOutput
 class MemoryBank(NamedTuple):
     cond_mem: jnp.ndarray    # [B, E2, mem_dim]
     cond_ptr: jnp.ndarray    # [B, C]
-    mem_ring: jnp.ndarray    # [B, R, E2, mem_dim]   R = num_maskmem - 1
-    mem_frame: jnp.ndarray   # [B, R] frame idx held (-1 empty)
+    mem_ring: jnp.ndarray    # [B, S, E2, mem_dim]   S = (num_maskmem-2)*r + 1
+    mem_frame: jnp.ndarray   # [B, S] frame idx held (-1 empty)
     ptr_ring: jnp.ndarray    # [B, P, C]             P = max_obj_ptrs - 1
     ptr_frame: jnp.ndarray   # [B, P] frame idx held (-1 empty)
     spatial_pos: jnp.ndarray  # [E2, mem_dim] sine PE over the memory grid
@@ -52,62 +63,110 @@ def _frame_feats(feats, t):
     return [f[:, t] for f in feats]
 
 
+def num_mem_slots(cfg) -> int:
+    """Ring size: the strided selection reaches at most (num_maskmem-2)*r + 1
+    frames back (t-1 plus num_maskmem-2 every-r-th frames), so this many slots
+    keyed by frame % S hold every reachable frame collision-free."""
+    r = cfg.memory_temporal_stride_for_eval
+    return max((cfg.num_maskmem - 2) * r + 1, 1)
+
+
 def init_bank(sam: SAM2Base, B: int, cond_mem, cond_ptr, spatial_pos):
     cfg = sam.cfg
-    R = cfg.num_maskmem - 1
-    P = cfg.max_obj_ptrs_in_encoder - 1
+    S = num_mem_slots(cfg)
+    P = max(cfg.max_obj_ptrs_in_encoder - 1, 1)
     E2 = cond_mem.shape[1]
     return MemoryBank(
         cond_mem=cond_mem,
         cond_ptr=cond_ptr,
-        mem_ring=jnp.zeros((B, R, E2, cfg.mem_dim), jnp.float32),
-        mem_frame=jnp.full((B, R), -1, jnp.int32),
+        mem_ring=jnp.zeros((B, S, E2, cfg.mem_dim), jnp.float32),
+        mem_frame=jnp.full((B, S), -1, jnp.int32),
         ptr_ring=jnp.zeros((B, P, cond_ptr.shape[-1]), jnp.float32),
         ptr_frame=jnp.full((B, P), -1, jnp.int32),
         spatial_pos=spatial_pos,
     )
 
 
-def assemble_memory(sam: SAM2Base, bank: MemoryBank, t, num_frames: int):
+def wanted_mem_frames(cfg, t, reverse: bool = False):
+    """Absolute frame indices the reference selects for the non-cond memory
+    of frame t (sam2_base.py:535-559), in t_rel order [1 .. num_maskmem-1].
+
+    t_rel=1 is the adjacent frame (t-1, or t+1 in reverse); t_rel>=2 walk
+    every-r-th frames from the floor- (ceil- in reverse) aligned anchor.
+    Returns (want [num_maskmem-1] jnp.int32, t_rel [num_maskmem-1] static)."""
+    r = cfg.memory_temporal_stride_for_eval
+    rels = np.arange(1, cfg.num_maskmem)                    # static t_rel
+    if not reverse:
+        anchor = ((t - 2) // r) * r
+        strided = anchor - (rels - 2) * r
+        adjacent = t - 1
+    else:
+        anchor = -((-(t + 2)) // r) * r                      # ceil align
+        strided = anchor + (rels - 2) * r
+        adjacent = t + 1
+    want = jnp.where(rels == 1, adjacent, strided)
+    return want.astype(jnp.int32), rels
+
+
+def assemble_memory(sam: SAM2Base, bank: MemoryBank, t, num_frames: int,
+                    reverse: bool = False):
     """Build the fixed-shape (memory, pos, kv_mask, n_obj_ptr_tokens) for
     frame t (reference _prepare_memory_conditioned_features,
-    sam2_base.py:519-638)."""
+    sam2_base.py:519-638). Selection is a static gather over the ring; a
+    slot is valid iff it actually holds the wanted frame (the reference's
+    dict .get returning None -> our kv_mask False)."""
     cfg = sam.cfg
     B, E2, mem_dim = bank.cond_mem.shape
-    R = bank.mem_ring.shape[1]
     P = bank.ptr_ring.shape[1]
     C = bank.cond_ptr.shape[-1]
     split = C // mem_dim
+    S = bank.mem_ring.shape[1]
+    M = cfg.num_maskmem - 1
 
     tpos = sam.maskmem_tpos_enc[:, 0, :]                     # [num_maskmem, mem_dim]
     sp = bank.spatial_pos                                    # [E2, mem_dim]
 
     # cond block: t_pos = 0 -> tpos index num_maskmem-1
     cond_pos = sp + tpos[cfg.num_maskmem - 1]
-    # ring blocks: frame f has age t-f in [1, R]; tpos index age-1
-    age = t - bank.mem_frame                                  # [B, R]
-    age_c = jnp.clip(age, 1, R)
-    ring_pos = sp[None, None] + tpos[age_c - 1][:, :, None, :]  # [B,R,E2,md]
-    ring_valid = (bank.mem_frame >= 1) & (age >= 1) & (age <= R)
+
+    # non-cond blocks: gather the wanted frames from the ring
+    want, rels = wanted_mem_frames(cfg, t, reverse)          # [M]
+    slots = want % S
+    mem_sel = jnp.take(bank.mem_ring, slots, axis=1)         # [B, M, E2, md]
+    held = jnp.take(bank.mem_frame, slots, axis=1)           # [B, M]
+    ring_valid = (want >= 0)[None, :] & (held == want[None, :])
+    if reverse:
+        ring_valid &= (want < num_frames)[None, :]
+    # temporal positional encoding: t_rel k -> tpos index k-1 (reference
+    # maskmem_tpos_enc[num_maskmem - t_pos - 1] with t_pos = num_maskmem - k)
+    ring_pos = sp[None, None] + tpos[rels - 1][None, :, None, :]  # [1,M,E2,md]
 
     memory = jnp.concatenate(
-        [bank.cond_mem[:, None], bank.mem_ring], axis=1)      # [B, R+1, E2, md]
-    memory = memory.reshape(B, (R + 1) * E2, mem_dim)
+        [bank.cond_mem[:, None], mem_sel], axis=1)           # [B, M+1, E2, md]
+    memory = memory.reshape(B, (M + 1) * E2, mem_dim)
     mem_pos = jnp.concatenate(
-        [jnp.broadcast_to(cond_pos, (B, 1, E2, mem_dim)), ring_pos], axis=1)
-    mem_pos = mem_pos.reshape(B, (R + 1) * E2, mem_dim)
+        [jnp.broadcast_to(cond_pos, (B, 1, E2, mem_dim)),
+         jnp.broadcast_to(ring_pos, (B, M, E2, mem_dim))], axis=1)
+    mem_pos = mem_pos.reshape(B, (M + 1) * E2, mem_dim)
     spatial_mask = jnp.concatenate(
-        [jnp.ones((B, 1), bool), ring_valid], axis=1)         # [B, R+1]
+        [jnp.ones((B, 1), bool), ring_valid], axis=1)        # [B, M+1]
     spatial_mask = jnp.repeat(spatial_mask, E2, axis=1)
 
-    # object pointers: cond (t_diff=t) + ring (t_diff = t - f), capped by
-    # max_obj_ptrs_in_encoder = min(num_frames, cfg.max_obj_ptrs_in_encoder)
+    # object pointers: cond + the last max_obj_ptrs-1 tracked frames, capped
+    # by max_obj_ptrs_in_encoder = min(num_frames, cfg.max_obj_ptrs_in_encoder)
     max_ptrs = min(num_frames, cfg.max_obj_ptrs_in_encoder)
-    ptrs = jnp.concatenate([bank.cond_ptr[:, None], bank.ptr_ring], axis=1)
-    p_age = t - bank.ptr_frame
-    ptr_valid = (bank.ptr_frame >= 1) & (p_age >= 1) & (p_age <= max_ptrs - 1)
+    diffs = np.arange(1, P + 1)                              # static t_diff
+    want_p = (t + diffs if reverse else t - diffs).astype(jnp.int32)
+    slots_p = want_p % P
+    ptr_sel = jnp.take(bank.ptr_ring, slots_p, axis=1)       # [B, P, C]
+    held_p = jnp.take(bank.ptr_frame, slots_p, axis=1)
+    ptr_valid = ((want_p >= 0)[None, :] & (held_p == want_p[None, :])
+                 & (diffs <= max_ptrs - 1)[None, :])
+    if reverse:
+        ptr_valid &= (want_p < num_frames)[None, :]
     ptr_valid = jnp.concatenate([jnp.ones((B, 1), bool), ptr_valid], axis=1)
 
+    ptrs = jnp.concatenate([bank.cond_ptr[:, None], ptr_sel], axis=1)
     ptr_tokens = ptrs.reshape(B, (P + 1) * split, mem_dim)
     ptr_mask = jnp.repeat(ptr_valid, split, axis=1)
     ptr_pos = jnp.zeros_like(ptr_tokens)
@@ -142,13 +201,15 @@ def track_init_frame(sam: SAM2Base, feats0, pos0, text_embeds
 
 
 def track_step(sam: SAM2Base, feats_t, pos_top, bank: MemoryBank, t,
-               num_frames: int) -> Tuple[SamHeadsOutput, MemoryBank]:
-    """One propagation step at frame t >= 1 (reference track_step,
-    sam2_base.py:706-833)."""
+               num_frames: int, reverse: bool = False
+               ) -> Tuple[SamHeadsOutput, MemoryBank]:
+    """One propagation step at frame t (reference track_step,
+    sam2_base.py:706-833). The new memory lands in ring slot t % S
+    (t % P for the pointer), read back by frame-equality gathers."""
     cfg = sam.cfg
     B, E = feats_t[-1].shape[0], feats_t[-1].shape[1]
     memory, mem_pos, kv_mask, n_ptr_tokens = assemble_memory(
-        sam, bank, t, num_frames)
+        sam, bank, t, num_frames, reverse)
     cond_feat = sam.condition_features(
         feats_t[-1], jnp.broadcast_to(pos_top, feats_t[-1].shape),
         memory, mem_pos, n_ptr_tokens, kv_mask,
@@ -160,10 +221,10 @@ def track_step(sam: SAM2Base, feats_t, pos_top, bank: MemoryBank, t,
         feats_t[-1], heads.high_res_masks.transpose(0, 2, 3, 1),
         heads.object_score_logits)
 
-    R = bank.mem_ring.shape[1]
+    S = bank.mem_ring.shape[1]
     P = bank.ptr_ring.shape[1]
-    mem_slot = (t - 1) % R
-    ptr_slot = (t - 1) % P
+    mem_slot = t % S
+    ptr_slot = t % P
     bank = bank._replace(
         mem_ring=bank.mem_ring.at[:, mem_slot].set(mem),
         mem_frame=bank.mem_frame.at[:, mem_slot].set(t),

@@ -36,11 +36,26 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _erf_as(x):
+    """Abramowitz & Stegun 7.1.26 rational erf (max abs err 1.5e-7, i.e.
+    f32-noise level for GELU). Pallas TPU lowering implements neither erf
+    nor erfc (found driving the tiny tracker on hardware; the CPU interpret
+    path accepted them), so the erf-exact GELU inside this kernel is spelled
+    with exp + polynomials, identically on every platform."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(x):
-    """torch-parity gelu: erf form in f32, tanh approximation in bf16
-    (see models/common.py gelu_exact for the error analysis)."""
+    """torch-parity gelu: erf form in f32 (via _erf_as), tanh approximation
+    in bf16 (see models/common.py gelu_exact for the error analysis)."""
     if x.dtype in (jnp.float32, jnp.float64):
-        return jax.nn.gelu(x, approximate=False)
+        return 0.5 * x * (1.0 + _erf_as(x * (2.0 ** -0.5)))
     return jax.nn.gelu(x, approximate=True)
 
 
