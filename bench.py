@@ -2,9 +2,12 @@
 
 Measures the full grounded-video-captioning inference path on one chip at
 flagship scale (Phi-3-mini 3.8B + InternVideo2-1B + CLIP-L/336 + SAM2
-Hiera-L, bf16):
+Hiera-L, bf16), starting from RAW DECODED FRAMES:
 
-  visual encode (16 frames: 4 InternVideo2 chunks + 16 CLIP frames)
+  fused on-device preprocessing (16 uint8 480x854 frames -> 224^2 ImageNet
+  + 336^2 CLIP + 1024^2 SAM streams, ops/preprocess.py; the host ships ONE
+  uint8 tensor — the reference preprocesses per frame in PIL on the host)
+  -> visual encode (16 frames: 4 InternVideo2 chunks + 16 CLIP frames)
   -> KV-cache prefill over the spliced ~3.4k-token sequence
   -> 64-step cached decode ([SEG] hidden collection)
   -> SAM-2 encode of 8 frames + batched mask decode (4 [SEG] x 8 frames)
@@ -74,19 +77,28 @@ def main():
     model = VideoGLaMM(cfg, dtype=jnp.bfloat16, quant_llm_int8=INT8,
                        quant_llm_int4=INT4, quant_kv_int8=KV8)
 
+    from videoglamm_tpu.ops.preprocess import (preprocess_clip_stream,
+                                               preprocess_iv_stream,
+                                               preprocess_sam_stream)
+
     ids = np.full((BATCH, S_TEXT), 5, np.int32)
     ids[:, 2] = IMAGE_TOKEN_INDEX
+    # raw decoded clip (DAVIS-480p-like) — preprocessing is part of the
+    # measured step; SAM tracks a uniform T_SAM-frame subset
+    RAW_H, RAW_W = 480, 854
+    raw = jnp.zeros((BATCH, NUM_FRAMES, RAW_H, RAW_W, 3), jnp.uint8)
+    sam_idx = np.linspace(0, NUM_FRAMES - 1, T_SAM).astype(np.int32)
     batch = dict(
-        frames=jnp.zeros((BATCH, NUM_FRAMES, 224, 224, 3), jnp.bfloat16),
-        context_images=jnp.zeros((BATCH, NUM_FRAMES, 336, 336, 3), jnp.bfloat16),
-        frames_sam=jnp.zeros((BATCH, T_SAM, 1024, 1024, 3), jnp.bfloat16),
+        raw_frames=raw,
         input_ids=jnp.asarray(ids),
         text_lens=jnp.full((BATCH,), S_TEXT, jnp.int32),
     )
 
     def init_fn():
         return model.init(
-            jax.random.PRNGKey(0), batch["frames"], batch["context_images"],
+            jax.random.PRNGKey(0),
+            jnp.zeros((BATCH, NUM_FRAMES, 224, 224, 3), jnp.bfloat16),
+            jnp.zeros((BATCH, NUM_FRAMES, 336, 336, 3), jnp.bfloat16),
             jnp.zeros((BATCH, 1, 1024, 1024, 3), jnp.bfloat16),
             batch["input_ids"], batch["text_lens"],
             jnp.full_like(batch["input_ids"], -100),
@@ -102,8 +114,12 @@ def main():
                                                  and s.ndim <= 2)
                             else jnp.bfloat16), shapes)
 
-    def clip_fn(params, frames, context_images, frames_sam, input_ids,
-                text_lens, draft_k=SPEC):
+    def clip_fn(params, raw_frames, input_ids, text_lens, draft_k=SPEC):
+        frames = preprocess_iv_stream(raw_frames, dtype=jnp.bfloat16)
+        context_images = preprocess_clip_stream(raw_frames,
+                                                dtype=jnp.bfloat16)
+        frames_sam = preprocess_sam_stream(raw_frames[:, sam_idx],
+                                           dtype=jnp.bfloat16)
         visual = model.apply(
             params, frames, context_images,
             method=lambda mdl, a, b: mdl.encode_visual_prefix(a, b))

@@ -98,27 +98,47 @@ def load_model(args, cfg: Optional[VideoGLaMMConfig] = None):
 
 def prepare_vision_inputs(frames: List[np.ndarray], cfg: VideoGLaMMConfig,
                           num_sam_frames: Optional[int] = None,
-                          sam_frames: Optional[List[np.ndarray]] = None):
+                          sam_frames: Optional[List[np.ndarray]] = None,
+                          device: bool = True):
     """Raw RGB frames -> (frames, context_images, frames_sam, orig_hw)
     batched [1, ...] model inputs (reference preprocess_vision,
     chat.py:402-470). `sam_frames` decouples the pixel-decoder frames from
     the encoder frames (eval propagates masks over ALL frames while the LLM
-    prefix sees NUM_FRAMES sampled ones — reference eval_mevis.py)."""
+    prefix sees NUM_FRAMES sampled ones — reference eval_mevis.py).
+
+    device=True (default): resize/normalize runs fused ON-DEVICE
+    (ops/preprocess.py) — the host ships one uint8 tensor per clip instead
+    of three float streams; device=False keeps the PIL host path (the
+    reference-parity fallback, within ~1/255/std of the device path)."""
     import jax.numpy as jnp
     from ..data.preprocess import (preprocess_clip, preprocess_internvideo,
                                    preprocess_sam2, sample_frame_indices)
 
-    orig_hw = frames[0].shape[:2]
-    enc = preprocess_internvideo(frames, cfg.internvideo.image_size)
-    ctx = preprocess_clip(frames, cfg.clip.image_size)
+    orig_hw = np.asarray(frames[0]).shape[:2]
     if sam_frames is None:
         sam_frames = frames
         if num_sam_frames is not None and num_sam_frames != len(frames):
             idx = sample_frame_indices(len(frames), num_sam_frames)
             sam_frames = [frames[i] for i in idx]
+
+    uniform = all(np.asarray(f).shape == (orig_hw + (3,))
+                  and np.asarray(f).dtype == np.uint8 for f in frames)
+    if device and uniform:
+        from ..ops.preprocess import (preprocess_clip_stream,
+                                      preprocess_iv_stream,
+                                      preprocess_sam_stream)
+        x = jnp.asarray(np.stack([np.asarray(f) for f in frames]))
+        enc = preprocess_iv_stream(x, cfg.internvideo.image_size)
+        ctx = preprocess_clip_stream(x, cfg.clip.image_size)
+        xs = jnp.asarray(np.stack([np.asarray(f) for f in sam_frames]))
+        sam = preprocess_sam_stream(xs, cfg.sam2.image_size)
+        return enc[None], ctx[None], sam[None], tuple(orig_hw)
+
+    enc = preprocess_internvideo(frames, cfg.internvideo.image_size)
+    ctx = preprocess_clip(frames, cfg.clip.image_size)
     sam = preprocess_sam2(sam_frames, cfg.sam2.image_size)
     return (jnp.asarray(enc)[None], jnp.asarray(ctx)[None],
-            jnp.asarray(sam)[None], orig_hw)
+            jnp.asarray(sam)[None], tuple(orig_hw))
 
 
 def tokenize_prompt(prompt: str, tokenizer, max_len: int = 512):

@@ -65,6 +65,56 @@ def _cubic_matrix(in_size: int, out_size: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=256)
+def _pil_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
+    """Row-stochastic matrix implementing PIL Image.resize's ANTIALIASED
+    separable filter (Pillow precompute_coeffs): kernel support scales with
+    the downscale factor and boundary windows are clipped + renormalized —
+    unlike torch's fixed-2-tap align_corners=False sampling. This is the
+    math of the reference host pipeline's PIL resizes (utils/
+    sam_transforms.py, internvideo utils.py, HF CLIPImageProcessor), so the
+    on-device preprocessing can reproduce them as matmuls. float-exact vs
+    PIL mode-'F' resizes; the uint8 path additionally quantizes
+    coefficients, bounded by ~1/255 per pixel."""
+    if mode == "bilinear":
+        support = 1.0
+
+        def f(t):
+            t = abs(t)
+            return 1.0 - t if t < 1.0 else 0.0
+    elif mode == "bicubic":
+        support, a = 2.0, -0.5
+
+        def f(t):
+            t = abs(t)
+            if t <= 1.0:
+                return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+            if t < 2.0:
+                return a * (t ** 3 - 5 * t ** 2 + 8 * t - 4)
+            return 0.0
+    else:
+        raise ValueError(mode)
+
+    m = np.zeros((out_size, in_size), dtype=np.float64)
+    scale = in_size / out_size
+    fscale = max(scale, 1.0)
+    sup = support * fscale
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        jmin = max(int(center - sup + 0.5), 0)
+        jmax = min(int(center + sup + 0.5), in_size)
+        w = np.array([f((j + 0.5 - center) / fscale)
+                      for j in range(jmin, jmax)])
+        m[i, jmin:jmax] = w / w.sum()
+    return m.astype(np.float32)
+
+
+def pil_resize_matrix(in_size: int, out_size: int,
+                      mode: str = "bilinear") -> np.ndarray:
+    """Public accessor for the PIL-semantics 1-D resize matrix."""
+    return _pil_matrix(in_size, out_size, mode)
+
+
+@functools.lru_cache(maxsize=256)
 def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
     """Torch F.interpolate(mode='nearest'): src = floor(i * in/out)."""
     m = np.zeros((out_size, in_size), dtype=np.float32)
