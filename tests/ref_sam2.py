@@ -127,6 +127,8 @@ def build_reference_sam2(cfg, seed: int = 0):
         max_obj_ptrs_in_encoder=cfg.max_obj_ptrs_in_encoder,
         memory_temporal_stride_for_eval=cfg.memory_temporal_stride_for_eval,
         max_cond_frames_in_attn=cfg.max_cond_frames_in_attn,
+        binarize_mask_from_pts_for_mem_enc=(
+            cfg.binarize_mask_from_pts_for_mem_enc),
         image_size=cfg.image_size, backbone_stride=16,
         sigmoid_scale_for_mem_enc=cfg.sigmoid_scale_for_mem_enc,
         sigmoid_bias_for_mem_enc=cfg.sigmoid_bias_for_mem_enc,

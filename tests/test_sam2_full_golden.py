@@ -53,9 +53,22 @@ def _ref_track(ref, frames, text, n_obj):
                 current_vision_pos_embeds=poss, feat_sizes=sizes,
                 point_inputs=None, mask_inputs=None,
                 output_dict=output_dict, num_frames=T,
+                run_mem_encoder=(t != 0),
                 text_inputs=(torch.from_numpy(text)[:, None]
                              if t == 0 else None))
             if t == 0:
+                # preflight consolidation re-encodes the prompted frame's
+                # memory with is_mask_from_pts=True (binarize path when the
+                # video-predictor build flag is on),
+                # sam2_video_predictor.py:616-634
+                high_res = torch.nn.functional.interpolate(
+                    out["pred_masks"], size=(ref.image_size, ref.image_size),
+                    mode="bilinear", align_corners=False)
+                mem_feat, mem_pos = ref._encode_new_memory(
+                    current_vision_feats=feats, feat_sizes=sizes,
+                    pred_masks_high_res=high_res, is_mask_from_pts=True)
+                out["maskmem_features"] = mem_feat
+                out["maskmem_pos_enc"] = mem_pos
                 output_dict["cond_frame_outputs"][t] = out
             else:
                 output_dict["non_cond_frame_outputs"][t] = out

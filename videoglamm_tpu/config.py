@@ -231,6 +231,11 @@ class SAM2Config:
     # sam2_utils.py select_closest_cond_frames)
     memory_temporal_stride_for_eval: int = 1
     max_cond_frames_in_attn: int = -1
+    # the video-predictor build hard-thresholds prompted-frame masks before
+    # memory encoding (build_sam.py:62 ++model.binarize_mask_from_pts_for_
+    # mem_enc=true; applied to every user-prompted frame via the preflight
+    # consolidation's is_mask_from_pts=True, sam2_video_predictor.py:626-632)
+    binarize_mask_from_pts_for_mem_enc: bool = True
     # behavior flags (mirroring sam2_hiera_l.yaml:90-117)
     sigmoid_scale_for_mem_enc: float = 20.0
     sigmoid_bias_for_mem_enc: float = -10.0

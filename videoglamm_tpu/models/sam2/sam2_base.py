@@ -155,7 +155,11 @@ class SAM2Base(nn.Module):
         out_scale, out_bias = 20.0, -10.0
         m = mask_inputs.astype(jnp.float32)  # [B, S, S, 1]
         high = (m * out_scale + out_bias).transpose(0, 3, 1, 2)  # [B,1,S,S]
-        low = resize_bilinear(
+        # the reference downsamples the mask with antialias=True
+        # (sam2_base.py:422-428) — a PIL-style scaled triangle filter, not
+        # the plain 2-tap bilinear
+        from ...ops.resize import resize_bilinear_antialias
+        low = resize_bilinear_antialias(
             high.transpose(0, 2, 3, 1),
             (high.shape[-2] // 4, high.shape[-1] // 4)).transpose(0, 3, 1, 2)
         ious = jnp.ones((m.shape[0], 1), jnp.float32)
@@ -170,11 +174,22 @@ class SAM2Base(nn.Module):
         return SamHeadsOutput(low, high, ious, low, high, obj_ptr, score)
 
     # ------------------------------------------------------------------
-    def encode_new_memory(self, pix_feat, high_res_masks, object_score_logits):
+    def encode_new_memory(self, pix_feat, high_res_masks, object_score_logits,
+                          binarize: bool = False):
         """pix_feat: [B, E, E, C]; high_res_masks: [B, S, S, 1] logits.
-        Returns (memory [B, E*E, mem_dim], pos [E*E, mem_dim])."""
+        Returns (memory [B, E*E, mem_dim], pos [E*E, mem_dim]).
+
+        binarize=True hard-thresholds the logits at 0 instead of sigmoid —
+        the eval-time `binarize_mask_from_pts_for_mem_enc` behavior the video
+        predictor build enables for user-prompted frames (reference
+        build_sam.py:62, sam2_base.py:687-691; the predictor's preflight
+        consolidation re-encodes every prompted frame with
+        is_mask_from_pts=True, sam2_video_predictor.py:626-632)."""
         cfg = self.cfg
-        m = jax.nn.sigmoid(high_res_masks.astype(jnp.float32))
+        if binarize:
+            m = (high_res_masks > 0).astype(jnp.float32)
+        else:
+            m = jax.nn.sigmoid(high_res_masks.astype(jnp.float32))
         m = m * cfg.sigmoid_scale_for_mem_enc + cfg.sigmoid_bias_for_mem_enc
         mem, pos = self.memory_encoder(pix_feat, m)
         B, E = mem.shape[0], mem.shape[1]
@@ -209,6 +224,14 @@ class SAM2Base(nn.Module):
         framewise/no-memory pipeline): encode image, decode with optional
         text prompt, encode memory."""
         feats, pos = self.forward_image(images)
+        if self.is_initializing():
+            # trace the mask-prompt branch too so `model.init(key, imgs)`
+            # materializes mask_downsample and the prompt encoder's mask
+            # downscaling convs — the interactive predictor needs them
+            B, S = images.shape[0], self.cfg.image_size
+            self.use_mask_as_output(
+                feats[-1], (feats[0], feats[1]),
+                jnp.zeros((B, S, S, 1), jnp.float32))
         heads = self.forward_sam_heads(
             feats[-1], text_inputs=text_inputs,
             high_res_features=(feats[0], feats[1]),

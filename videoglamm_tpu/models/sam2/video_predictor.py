@@ -193,9 +193,13 @@ def track_init_frame(sam: SAM2Base, feats0, pos0, text_embeds
         embed, text_inputs=text_embeds,
         high_res_features=(feats0[0], feats0[1]),
         multimask_output=sam.cfg.multimask_output_in_sam)
+    # prompted frames are (re-)encoded by the predictor's preflight
+    # consolidation with is_mask_from_pts=True -> binarized mask when the
+    # video-predictor build flag is on (sam2_video_predictor.py:626-632)
     mem, mem_pos = sam.encode_new_memory(
         feats0[-1], heads.high_res_masks.transpose(0, 2, 3, 1),
-        heads.object_score_logits)
+        heads.object_score_logits,
+        binarize=sam.cfg.binarize_mask_from_pts_for_mem_enc)
     bank = init_bank(sam, B, mem, heads.obj_ptr, mem_pos)
     return heads, bank
 

@@ -149,6 +149,25 @@ def resize_bilinear(x, out_hw, channels_last: bool = True):
     return y
 
 
+def resize_bilinear_antialias(x, out_hw, channels_last: bool = True):
+    """torch F.interpolate(mode='bilinear', antialias=True) semantics: the
+    triangle kernel's support scales with the downscale factor and clipped
+    boundary windows renormalize — identical math to PIL's BILINEAR filter
+    (torch's _upsample_bilinear2d_aa implements exactly that), so the PIL
+    matrix serves both. Used by SAM-2's mask-input path
+    (reference sam2_base.py:422-428)."""
+    oh, ow = out_hw
+    if not channels_last:
+        x = jnp.moveaxis(x, -3, -1)
+    H, W = x.shape[-3], x.shape[-2]
+    mh = jnp.asarray(_pil_matrix(H, oh, "bilinear"))
+    mw = jnp.asarray(_pil_matrix(W, ow, "bilinear"))
+    y = _apply_separable(x, mh, mw).astype(x.dtype)
+    if not channels_last:
+        y = jnp.moveaxis(y, -1, -3)
+    return y
+
+
 def resize_bicubic(x, out_hw, channels_last: bool = True):
     """Bicubic resize matching torch align_corners=False (used by the Hiera
     background position embedding, reference hieradet.py:271)."""
