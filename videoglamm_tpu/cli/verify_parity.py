@@ -31,6 +31,26 @@ real weights swap in the real paths:
   python -m videoglamm_tpu.cli.verify_parity \
       --checkpoint <hf_export_dir> --internvideo_ckpt <iv2.pt> \
       --clip_ckpt <clip.bin> --out report.json
+
+Flagship-scale rehearsal (proves checkpoint import + 16 GB HBM serving
+feasibility + the int8 gates at REAL shapes — Phi-3 3.8B / IV2-1B / Hiera-L
+— without real weight values): run it twice, splitting the f32 oracle
+comparisons (host CPU) from the serving-dtype quant gates (the chip):
+
+  python -m videoglamm_tpu.cli.verify_parity --synthetic --scale flagship \
+      --stages import,modules --platform cpu \
+      --out_dir parity --report_name parity_modules_cpu.json
+  python -m videoglamm_tpu.cli.verify_parity --scale flagship \
+      --checkpoint parity/synthetic_ckpt \
+      --internvideo_ckpt parity/synthetic_ckpt/internvideo2.pt \
+      --clip_ckpt parity/synthetic_ckpt/clip_vision.bin \
+      --stages import,quant --platform '' \
+      --out_dir parity --report_name parity_quant_tpu.json
+
+Composition always happens on the host CPU backend; the quant stage places
+one serving tree in device memory at a time (float run, free, then each
+quantized run), so the flagship bf16 (~11 GB) and int8 trees never coexist
+in HBM.
 """
 from __future__ import annotations
 
@@ -164,6 +184,8 @@ def run(args) -> dict:
     jax.config.update("jax_default_matmul_precision", "highest")
 
     report = {"stages": {}, "ok": True}
+    stages = set(s for s in args.stages.split(",") if s)
+    cpu0 = jax.devices("cpu")[0]
 
     cfg = (VideoGLaMMConfig.tiny(num_frames=4) if args.scale == "tiny"
            else VideoGLaMMConfig.flagship())
@@ -193,7 +215,8 @@ def run(args) -> dict:
         iv_sd = raw.get("model", raw.get("module", raw))
     if args.clip_ckpt:
         clip_sd = torch.load(args.clip_ckpt, map_location="cpu")
-    params = compose_videoglamm_params(sd, cfg, iv_sd, clip_sd)
+    with jax.default_device(cpu0):  # composition never lands in HBM
+        params = compose_videoglamm_params(sd, cfg, iv_sd, clip_sd)
 
     dtype = jnp.float32 if args.scale == "tiny" else jnp.bfloat16
     model = VideoGLaMM(cfg, dtype=dtype)
@@ -210,17 +233,30 @@ def run(args) -> dict:
         frames_sam=jnp.asarray(rng.randn(1, T_sam, sam_s, sam_s, 3), dtype),
         input_ids=jnp.asarray(ids),
         text_lens=jnp.full((1,), S, jnp.int32))
-    init = model.init(
+    # structure check against the init tree WITHOUT running a real init
+    # forward (abstract trace only — a flagship init forward would take tens
+    # of minutes on a 1-core host and 30+ GB f32 in HBM on the chip)
+    init_shapes = jax.eval_shape(lambda: model.init(
         jax.random.PRNGKey(0), **batch,
         labels=jnp.full_like(batch["input_ids"], -100),
         video_idx=jnp.zeros((1,), jnp.int32),
         gt_masks=jnp.zeros((1, cfg.max_seg_tokens, T_sam, 32, 32),
-                           jnp.float32))["params"]
-    missing = [k for k in params if k not in init]
-    for k, v in params.items():
-        if k in init:
-            init[k] = jax.tree_util.tree_map(
-                lambda a: jnp.asarray(a, jnp.float32), v)
+                           jnp.float32)))["params"]
+    missing = [k for k in params if k not in init_shapes]
+    fill_rng = np.random.RandomState(args.seed + 1)
+
+    def _fill(sub):  # deterministic stand-in values for unimported modules
+        return jax.tree_util.tree_map(
+            lambda s: jnp.asarray(
+                (fill_rng.standard_normal(s.shape) * 0.02).astype(np.float32)
+                if jnp.issubdtype(s.dtype, jnp.floating)
+                else np.zeros(s.shape, s.dtype)), sub)
+
+    with jax.default_device(cpu0):
+        init = {k: (jax.tree_util.tree_map(
+                        lambda a: jnp.asarray(a, jnp.float32), params[k])
+                    if k in params else _fill(v))
+                for k, v in init_shapes.items()}
     imported = sorted(params)
     random_init = sorted(set(init) - set(params))
     report["stages"]["import"] = {
@@ -231,147 +267,148 @@ def run(args) -> dict:
     print(f"[import] modules: {imported}; random-init: {random_init}")
 
     # ---------------------------------------------------- 2. modules ----
-    mod_reports = {}
+    if "modules" in stages:
+        mod_reports = {}
 
-    def check(name, got, want, tol_scale=1.0):
-        d = _delta(got, want)
-        d["ok"] = (d["max_abs"] <= THRESHOLDS["module_max_abs"] * tol_scale
-                   and d["mean_abs"] <= THRESHOLDS["module_mean_abs"]
-                   * tol_scale)
-        mod_reports[name] = d
-        report["ok"] &= d["ok"]
-        print(f"[modules] {name}: max|d|={d['max_abs']:.2e} "
-              f"mean|d|={d['mean_abs']:.2e} {'OK' if d['ok'] else 'FAIL'}")
+        def check(name, got, want, tol_scale=1.0):
+            d = _delta(got, want)
+            d["ok"] = (d["max_abs"] <= THRESHOLDS["module_max_abs"] * tol_scale
+                       and d["mean_abs"] <= THRESHOLDS["module_mean_abs"]
+                       * tol_scale)
+            mod_reports[name] = d
+            report["ok"] &= d["ok"]
+            print(f"[modules] {name}: max|d|={d['max_abs']:.2e} "
+                  f"mean|d|={d['mean_abs']:.2e} {'OK' if d['ok'] else 'FAIL'}")
 
-    # Phi-3 logits vs HF (always available)
-    from transformers import Phi3Config as HFPhi3Config
-    from transformers import Phi3ForCausalLM as HFPhi3
-    lcfg = cfg.llm
-    hf = HFPhi3(HFPhi3Config(
-        vocab_size=lcfg.vocab_size + 1, hidden_size=lcfg.hidden_size,
-        intermediate_size=lcfg.intermediate_size,
-        num_hidden_layers=lcfg.num_layers,
-        num_attention_heads=lcfg.num_heads,
-        num_key_value_heads=lcfg.num_kv_heads,
-        max_position_embeddings=lcfg.max_position_embeddings,
-        rms_norm_eps=lcfg.rms_norm_eps, rope_theta=lcfg.rope_theta,
-        pad_token_id=0, attn_implementation="eager"))
-    hf.load_state_dict({k[:]: v for k, v in sd.items()
-                        if k.split(".")[0] in ("model", "lm_head")
-                        and ".visual_model." not in k
-                        and ".mm_projector." not in k
-                        and ".image_mm_projector." not in k
-                        and ".text_hidden_fcs." not in k}, strict=False)
-    hf = hf.eval().float()
-    tok_ids = rng.randint(1, lcfg.vocab_size, size=(1, 16))
-    with torch.no_grad():
-        want = hf(torch.from_numpy(tok_ids)).logits.numpy()
-    got = model.apply(
-        params, jnp.asarray(tok_ids, jnp.int32),
-        jnp.arange(16)[None], jnp.full((1,), 16, jnp.int32),
-        method=lambda mdl, i, p, l: mdl.llm.forward_ids(i, p, l))[0]
-    check("phi3_logits", got, want,
-          tol_scale=5.0 if args.scale != "tiny" else 1.0)
-
-    # text_hidden_fcs vs the exported Sequential
-    fcs_w = {k.split("model.text_hidden_fcs.0.")[-1]: v
-             for k, v in sd.items() if "text_hidden_fcs" in k}
-    if fcs_w:
-        seq = torch.nn.Sequential(
-            torch.nn.Linear(lcfg.hidden_size, lcfg.hidden_size),
-            torch.nn.ReLU(),
-            torch.nn.Linear(lcfg.hidden_size, cfg.out_dim),
-            torch.nn.Dropout(0.0))
-        seq.load_state_dict(fcs_w)
-        x = rng.randn(3, lcfg.hidden_size).astype(np.float32)
+        # Phi-3 logits vs HF (always available)
+        from transformers import Phi3Config as HFPhi3Config
+        from transformers import Phi3ForCausalLM as HFPhi3
+        lcfg = cfg.llm
+        hf = HFPhi3(HFPhi3Config(
+            vocab_size=lcfg.vocab_size + 1, hidden_size=lcfg.hidden_size,
+            intermediate_size=lcfg.intermediate_size,
+            num_hidden_layers=lcfg.num_layers,
+            num_attention_heads=lcfg.num_heads,
+            num_key_value_heads=lcfg.num_kv_heads,
+            max_position_embeddings=lcfg.max_position_embeddings,
+            rms_norm_eps=lcfg.rms_norm_eps, rope_theta=lcfg.rope_theta,
+            pad_token_id=0, attn_implementation="eager"))
+        hf.load_state_dict({k[:]: v for k, v in sd.items()
+                            if k.split(".")[0] in ("model", "lm_head")
+                            and ".visual_model." not in k
+                            and ".mm_projector." not in k
+                            and ".image_mm_projector." not in k
+                            and ".text_hidden_fcs." not in k}, strict=False)
+        hf = hf.eval().float()
+        tok_ids = rng.randint(1, lcfg.vocab_size, size=(1, 16))
         with torch.no_grad():
-            want = seq(torch.from_numpy(x)).numpy()
-        got = model.apply(params, jnp.asarray(x),
-                          method=lambda mdl, a: mdl.text_hidden_fcs(a))
-        check("text_hidden_fcs", got, want)
+            want = hf(torch.from_numpy(tok_ids)).logits.numpy()
+        got = model.apply(
+            params, jnp.asarray(tok_ids, jnp.int32),
+            jnp.arange(16)[None], jnp.full((1,), 16, jnp.int32),
+            method=lambda mdl, i, p, l: mdl.llm.forward_ids(i, p, l))[0]
+        check("phi3_logits", got, want,
+              tol_scale=5.0 if args.scale != "tiny" else 1.0)
 
-    # CLIP features vs HF CLIPVisionModel
-    if clip_sd is not None:
+        # text_hidden_fcs vs the exported Sequential
+        fcs_w = {k.split("model.text_hidden_fcs.0.")[-1]: v
+                 for k, v in sd.items() if "text_hidden_fcs" in k}
+        if fcs_w:
+            seq = torch.nn.Sequential(
+                torch.nn.Linear(lcfg.hidden_size, lcfg.hidden_size),
+                torch.nn.ReLU(),
+                torch.nn.Linear(lcfg.hidden_size, cfg.out_dim),
+                torch.nn.Dropout(0.0))
+            seq.load_state_dict(fcs_w)
+            x = rng.randn(3, lcfg.hidden_size).astype(np.float32)
+            with torch.no_grad():
+                want = seq(torch.from_numpy(x)).numpy()
+            got = model.apply(params, jnp.asarray(x),
+                              method=lambda mdl, a: mdl.text_hidden_fcs(a))
+            check("text_hidden_fcs", got, want)
+
+        # CLIP features vs HF CLIPVisionModel
+        if clip_sd is not None:
+            try:
+                from transformers import CLIPVisionConfig as HFCLIPVisionConfig
+                from transformers import CLIPVisionModel as HFCLIPVision
+                ccfg = cfg.clip
+                clip = HFCLIPVision(HFCLIPVisionConfig(
+                    hidden_size=ccfg.hidden_size,
+                    intermediate_size=ccfg.intermediate_size,
+                    num_hidden_layers=ccfg.num_layers,
+                    num_attention_heads=ccfg.num_heads,
+                    image_size=ccfg.image_size, patch_size=ccfg.patch_size,
+                    attn_implementation="eager"))
+                clip.load_state_dict(
+                    {k.replace("vision_model.", "", 1) if False else k: v
+                     for k, v in clip_sd.items()}, strict=False)
+                clip = clip.eval().float()
+                img = rng.randn(1, ccfg.image_size, ccfg.image_size, 3).astype(
+                    np.float32)
+                with torch.no_grad():
+                    want = clip(torch.from_numpy(
+                        img.transpose(0, 3, 1, 2)),
+                        output_hidden_states=True
+                    ).hidden_states[-2][:, 1:].numpy()
+                got = model.apply(params, jnp.asarray(img),
+                                  method=lambda mdl, a:
+                                  mdl.image_vision_tower(a))
+                check("clip_features", got, want,
+                      tol_scale=5.0 if args.scale != "tiny" else 1.0)
+            except Exception as e:
+                mod_reports["clip_features"] = {"skipped": str(e)}
+                print(f"[modules] clip_features skipped: {e}")
+
+        # SAM-2 mask decoder vs the reference module (same weights)
         try:
-            from transformers import CLIPVisionConfig as HFCLIPVisionConfig
-            from transformers import CLIPVisionModel as HFCLIPVision
-            ccfg = cfg.clip
-            clip = HFCLIPVision(HFCLIPVisionConfig(
-                hidden_size=ccfg.hidden_size,
-                intermediate_size=ccfg.intermediate_size,
-                num_hidden_layers=ccfg.num_layers,
-                num_attention_heads=ccfg.num_heads,
-                image_size=ccfg.image_size, patch_size=ccfg.patch_size,
-                attn_implementation="eager"))
-            clip.load_state_dict(
-                {k.replace("vision_model.", "", 1) if False else k: v
-                 for k, v in clip_sd.items()}, strict=False)
-            clip = clip.eval().float()
-            img = rng.randn(1, ccfg.image_size, ccfg.image_size, 3).astype(
-                np.float32)
-            with torch.no_grad():
-                want = clip(torch.from_numpy(
-                    img.transpose(0, 3, 1, 2)),
-                    output_hidden_states=True
-                ).hidden_states[-2][:, 1:].numpy()
-            got = model.apply(params, jnp.asarray(img),
-                              method=lambda mdl, a:
-                              mdl.image_vision_tower(a))
-            check("clip_features", got, want,
-                  tol_scale=5.0 if args.scale != "tiny" else 1.0)
+            sys.path.insert(0, _tests_dir())
+            from ref_sam2 import build_reference_sam2
+            sam = build_reference_sam2(cfg.sam2)
+            sam_sd = {k.split("model.visual_model.")[-1]: v
+                      for k, v in sd.items() if "model.visual_model." in k}
+            if sam_sd:
+                sam.load_state_dict(sam_sd, strict=False)
+                sam = sam.eval().float()
+                E = cfg.sam2.image_size // 16
+                C = cfg.sam2.d_model
+                pe = sam.sam_prompt_encoder
+                feat = rng.randn(1, C, E, E).astype(np.float32)
+                s0 = rng.randn(1, C // 8, 4 * E, 4 * E).astype(np.float32)
+                s1 = rng.randn(1, C // 4, 2 * E, 2 * E).astype(np.float32)
+                text = rng.randn(1, 1, C).astype(np.float32)
+                with torch.no_grad():
+                    sp, dn = pe(points=None, boxes=None, masks=None,
+                                text_embeds=torch.from_numpy(text))
+                    want, want_iou, _, _ = sam.sam_mask_decoder(
+                        image_embeddings=torch.from_numpy(feat),
+                        image_pe=pe.get_dense_pe(),
+                        sparse_prompt_embeddings=sp,
+                        dense_prompt_embeddings=dn,
+                        multimask_output=False, repeat_image=False,
+                        high_res_features=[torch.from_numpy(s0),
+                                           torch.from_numpy(s1)])
+                    want = want.numpy()
+                sp_j, dn_j = model.apply(
+                    params, jnp.asarray(text),
+                    method=lambda mdl, t: mdl.sam.sam_prompt_encoder(
+                        points=None, text_embeds=t))
+                hrf = (jnp.asarray(s0.transpose(0, 2, 3, 1)),
+                       jnp.asarray(s1.transpose(0, 2, 3, 1)))
+                dec = model.apply(
+                    params, jnp.asarray(feat.transpose(0, 2, 3, 1)), sp_j, dn_j,
+                    method=lambda mdl, f, s, d: mdl.sam.sam_mask_decoder(
+                        f, mdl.sam.sam_prompt_encoder.get_dense_pe(), s, d,
+                        multimask_output=False, high_res_features=hrf,
+                        training=False))
+                check("sam2_mask_decoder", np.asarray(dec.masks), want)
         except Exception as e:
-            mod_reports["clip_features"] = {"skipped": str(e)}
-            print(f"[modules] clip_features skipped: {e}")
+            import traceback
+            traceback.print_exc()
+            mod_reports["sam2_mask_decoder"] = {"skipped": str(e)}
+            print(f"[modules] sam2_mask_decoder skipped: {e}")
 
-    # SAM-2 mask decoder vs the reference module (same weights)
-    try:
-        sys.path.insert(0, _tests_dir())
-        from ref_sam2 import build_reference_sam2
-        sam = build_reference_sam2(cfg.sam2)
-        sam_sd = {k.split("model.visual_model.")[-1]: v
-                  for k, v in sd.items() if "model.visual_model." in k}
-        if sam_sd:
-            sam.load_state_dict(sam_sd, strict=False)
-            sam = sam.eval().float()
-            E = cfg.sam2.image_size // 16
-            C = cfg.sam2.d_model
-            pe = sam.sam_prompt_encoder
-            feat = rng.randn(1, C, E, E).astype(np.float32)
-            s0 = rng.randn(1, C // 8, 4 * E, 4 * E).astype(np.float32)
-            s1 = rng.randn(1, C // 4, 2 * E, 2 * E).astype(np.float32)
-            text = rng.randn(1, 1, C).astype(np.float32)
-            with torch.no_grad():
-                sp, dn = pe(points=None, boxes=None, masks=None,
-                            text_embeds=torch.from_numpy(text))
-                want, want_iou, _, _ = sam.sam_mask_decoder(
-                    image_embeddings=torch.from_numpy(feat),
-                    image_pe=pe.get_dense_pe(),
-                    sparse_prompt_embeddings=sp,
-                    dense_prompt_embeddings=dn,
-                    multimask_output=False, repeat_image=False,
-                    high_res_features=[torch.from_numpy(s0),
-                                       torch.from_numpy(s1)])
-                want = want.numpy()
-            sp_j, dn_j = model.apply(
-                params, jnp.asarray(text),
-                method=lambda mdl, t: mdl.sam.sam_prompt_encoder(
-                    points=None, text_embeds=t))
-            hrf = (jnp.asarray(s0.transpose(0, 2, 3, 1)),
-                   jnp.asarray(s1.transpose(0, 2, 3, 1)))
-            dec = model.apply(
-                params, jnp.asarray(feat.transpose(0, 2, 3, 1)), sp_j, dn_j,
-                method=lambda mdl, f, s, d: mdl.sam.sam_mask_decoder(
-                    f, mdl.sam.sam_prompt_encoder.get_dense_pe(), s, d,
-                    multimask_output=False, high_res_features=hrf,
-                    training=False))
-            check("sam2_mask_decoder", np.asarray(dec.masks), want)
-    except Exception as e:
-        import traceback
-        traceback.print_exc()
-        mod_reports["sam2_mask_decoder"] = {"skipped": str(e)}
-        print(f"[modules] sam2_mask_decoder skipped: {e}")
-
-    report["stages"]["modules"] = mod_reports
+        report["stages"]["modules"] = mod_reports
 
     # ---------------------------------------------------- 3. quant ----
     def clip_run(m, p):
@@ -390,15 +427,45 @@ def run(args) -> dict:
                             f, s, v, training=False))
         return np.asarray(gen.tokens), np.asarray(masks)
 
-    tok_f, mask_f = clip_run(model, params)
+    run_dev = jax.devices()[0]
+
+    def _place(tree):
+        """Host f32 tree -> serving tree on the run device: float leaves in
+        the model dtype, quantized integer leaves as-is."""
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(
+                a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating)
+                else a, run_dev), tree)
+
+    def _free(tree):
+        # device_put onto the host device aliases the source buffers (and
+        # quantized trees alias params' non-LLM subtrees) — only release
+        # when the run device is a separate accelerator
+        if run_dev == cpu0:
+            return
+        for leaf in jax.tree_util.tree_leaves(tree):
+            leaf.delete()
+
+    if "quant" not in stages:
+        print("[quant] skipped (--stages)")
+        quant_modes = []
+    else:
+        quant_modes = ["int8", "int4"] if args.int4 else ["int8"]
+        p_f = {"params": _place(params["params"])}
+        tok_f, mask_f = clip_run(model, p_f)
+        _free(p_f)
     quant_report = {}
-    for mode in (["int8", "int4"] if args.int4 else ["int8"]):
-        qp = {"params": quantize_videoglamm_llm(params["params"], mode=mode)}
+    for mode in quant_modes:
+        with jax.default_device(cpu0):  # quantize 3.8B on the host
+            q_host = quantize_videoglamm_llm(params["params"], mode=mode)
+        qp = {"params": _place(q_host)}
+        del q_host
         qm = VideoGLaMM(cfg, dtype=dtype,
                         quant_llm_int8=mode == "int8",
                         quant_llm_int4=mode == "int4",
                         quant_kv_int8=mode == "int8")
         tok_q, mask_q = clip_run(qm, qp)
+        _free(qp)
         agree = float((tok_f == tok_q).mean())
         bf, bq = mask_f > 0, mask_q > 0
         union = (bf | bq).sum()
@@ -417,10 +484,11 @@ def run(args) -> dict:
             quant_report[mode]["advisory"] = True
         print(f"[quant] {mode}: agree={agree:.3f} iou={iou:.3f} "
               f"{'OK' if ok else 'FAIL (advisory)' if mode != 'int8' else 'FAIL'}")
-    report["stages"]["quant"] = quant_report
+    if "quant" in stages:
+        report["stages"]["quant"] = quant_report
 
     # ---------------------------------------------------- 4. eval ----
-    if args.reason_seg_root and args.tokenizer:
+    if "eval" in stages and args.reason_seg_root and args.tokenizer:
         from ..data.conversation import ConvGenerator
         from ..data.datasets import ReasonSegDataset
         from ..evals.metrics import intersection_and_union
@@ -471,7 +539,7 @@ def run(args) -> dict:
         print("[eval] skipped: --tokenizer required for the eval stage")
 
     os.makedirs(args.out_dir, exist_ok=True)
-    out = os.path.join(args.out_dir, "parity_report.json")
+    out = os.path.join(args.out_dir, args.report_name)
     with open(out, "w") as f:
         json.dump(report, f, indent=2, default=str)
     print(f"[done] ok={report['ok']} -> {out}")
@@ -502,6 +570,10 @@ def main(argv=None):
                         "default; golden deltas use f32-highest matmuls "
                         "either way)")
     p.add_argument("--out_dir", default="./parity")
+    p.add_argument("--report_name", default="parity_report.json")
+    p.add_argument("--stages", default="import,modules,quant,eval",
+                   help="comma-separated subset of import,modules,quant,"
+                        "eval (import always runs)")
     args = p.parse_args(argv)
     assert args.synthetic or args.checkpoint, \
         "pass --checkpoint or --synthetic"

@@ -24,6 +24,7 @@ import flax.linen as nn
 
 from ...config import HieraConfig
 from ...ops import dot_product_attention
+from ...ops.attention import attention_bshd, attention_bshd_cross
 from ...ops.resize import resize_bicubic
 from ..common import (Dense, HeadPaddedQKV, LayerNorm, Mlp,
                       PadConsumingProj)
@@ -207,19 +208,35 @@ class MultiScaleAttention(nn.Module):
             return PadConsumingProj(self.dim_out, nh, self.dim_out,
                                     dtype=self.dtype, name="proj")(o)
 
-        qkv = Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, H * W, 3, nh, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # generic path (q_pool transition blocks, global blocks, fallback
+        # geometries): project on the FLAT 2D view and split q/k/v as column
+        # slices — batched-3D/4D matmul outputs pick batch-minor layouts that
+        # force full relayout copies around the head split (measured ~15 ms
+        # across the three q_pool blocks at the 8-frame bench shape)
+        d = self.dim_out
+        qkv = Dense(3 * d, dtype=self.dtype, name="qkv")(
+            x.reshape(B * H * W, x.shape[-1]))
+        q = qkv[:, :d].reshape(B, H * W, nh, hd)
+        k = qkv[:, d:2 * d].reshape(B, H * W, nh, hd)
+        v = qkv[:, 2 * d:].reshape(B, H * W, nh, hd)
         if self.q_pool:
-            q = _max_pool_2x(q.reshape(B, H, W, nh * hd))
+            q = _max_pool_2x(q.reshape(B, H, W, d))
             H, W = q.shape[1], q.shape[2]
             q = q.reshape(B, H * W, nh, hd)
 
-        o = dot_product_attention(q.transpose(0, 2, 1, 3),
-                                  k.transpose(0, 2, 1, 3),
-                                  v.transpose(0, 2, 1, 3))
-        o = o.transpose(0, 2, 1, 3).reshape(B, H, W, nh * hd)
-        return Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
+        if q.shape[1] != k.shape[1]:
+            o = attention_bshd_cross(q, k, v)          # pooled queries
+        elif q.shape[1] <= 1536:
+            o = attention_bshd(q, k, v)                # no head transposes
+        else:
+            # long global attention: Pallas flash needs [B, H, S, D]
+            o = dot_product_attention(q.transpose(0, 2, 1, 3),
+                                      k.transpose(0, 2, 1, 3),
+                                      v.transpose(0, 2, 1, 3))
+            o = o.transpose(0, 2, 1, 3)
+        o = Dense(d, dtype=self.dtype, name="proj")(
+            o.reshape(B * H * W, d))
+        return o.reshape(B, H, W, d)
 
 
 class _LNParams(nn.Module):
@@ -318,7 +335,9 @@ class MultiScaleBlock(nn.Module):
         x = LayerNorm(eps=1e-6, name="norm1")(x)
 
         if self.dim != self.dim_out:
-            shortcut = Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+            sB, sH, sW, sC = x.shape
+            shortcut = Dense(self.dim_out, dtype=self.dtype, name="proj")(
+                x.reshape(-1, sC)).reshape(sB, sH, sW, self.dim_out)
             if self.q_pool:
                 shortcut = _max_pool_2x(shortcut)
 

@@ -1017,6 +1017,17 @@ def attention_packed_qkv(qkv, num_heads: int, *,
                                win)
 
 
+def attention_bshd_cross(q, k, v, *, sm_scale: Optional[float] = None):
+    """Cross-length BSHD attention (Sq != Sk): the pooled-query Hiera
+    stage-transition blocks (reference hieradet.py:116-129 q_pool). Small
+    per-window token counts — the XLA einsum is at the floor here; the win
+    is keeping q/k/v as free reshapes of flat-2D projection outputs (no
+    [B,H,S,D] transposes)."""
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    return _attention_xla_bshd(q, k, v, float(sm_scale))
+
+
 # ---------------------------------------------------------------------------
 # Single-pass decode attention over the int8 KV cache
 # ---------------------------------------------------------------------------
