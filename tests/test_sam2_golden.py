@@ -59,8 +59,14 @@ def test_hiera_golden(img):
 def test_hiera_layout_hoisting_exact():
     """Window-layout hoisting (partition/unpartition lifted out of
     same-window block runs, global blocks running window-major) is a pure
-    token reordering: outputs must be BIT-identical to the per-block
-    layout path, including through a global-attention block and batch>1."""
+    token reordering. Token-local ops (norm/MLP/residual/projection) are
+    bit-identical under reordering, but GLOBAL-attention blocks reduce over
+    the token axis (softmax denominator, PV matmul): running them in
+    window-major order changes f32 accumulation order, so the two layouts
+    agree only to last-ulp f32 noise, not bitwise. The contract is
+    therefore a tight tolerance (observed max|delta| ~5e-7 on this config;
+    bound set at 1e-5 abs against the ~1e1-scale activations to stay
+    deterministic across BLAS backends)."""
     cfg = TINY
     x = jnp.asarray(np.random.RandomState(1).randn(2, 128, 128, 3),
                     jnp.float32)
@@ -68,4 +74,5 @@ def test_hiera_layout_hoisting_exact():
     outs_h = Hiera(cfg, dtype=jnp.float32, hoist_layout=True).apply(params, x)
     outs_p = Hiera(cfg, dtype=jnp.float32, hoist_layout=False).apply(params, x)
     for h, p in zip(outs_h, outs_p):
-        np.testing.assert_array_equal(np.asarray(h), np.asarray(p))
+        np.testing.assert_allclose(np.asarray(h), np.asarray(p),
+                                   atol=1e-5, rtol=1e-5)

@@ -385,8 +385,9 @@ class MultiScaleBlock(nn.Module):
 class Hiera(nn.Module):
     cfg: HieraConfig
     dtype: jnp.dtype = jnp.bfloat16
-    # layout hoisting is numerically exact (pure reordering); the knob
-    # exists so tests can compare both paths
+    # layout hoisting is a pure token reordering: exact through token-local
+    # ops, last-ulp f32 noise through global-attention blocks (reduction
+    # order changes); the knob exists so tests can compare both paths
     hoist_layout: bool = True
 
     @nn.compact
