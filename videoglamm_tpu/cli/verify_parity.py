@@ -17,7 +17,11 @@ Stages (each skippable, each contributes to the JSON report):
                 from the SAME state dicts: Phi-3 logits vs HF Phi3, CLIP
                 features vs HF CLIPVisionModel, text_hidden_fcs vs the
                 exported Sequential, SAM-2 heads vs the reference module
-                (when the reference repo + tests shims are present).
+                (when the reference repo + tests shims are present). When
+                the serving dtype is bf16 (flagship default), every check
+                runs twice: an f32 control gated at the tight
+                import-fidelity thresholds, and the serving-dtype run
+                gated at the calibrated bf16 drift bounds (see THRESHOLDS).
 3. quant      — the int8 (and optionally int4) serving gates re-run at this
                 checkpoint's scale: greedy generation token agreement and
                 mask IoU float-vs-quantized on a fixed clip.
@@ -62,8 +66,19 @@ import sys
 import numpy as np
 
 THRESHOLDS = {
-    "module_max_abs": 2e-2,      # bf16-accumulation headroom on real scales
+    "module_max_abs": 2e-2,      # f32 import-fidelity bound at any scale
     "module_mean_abs": 2e-3,
+    # Serving-dtype (bf16) drift bounds, calibrated by the flagship f32
+    # control run (parity/parity_modules_cpu.json, seed 0): with identical
+    # params the f32 path lands at max|d| = 4.3e-5 on phi3 logits / 3.8e-6
+    # on CLIP features (proving import fidelity) while the bf16 path shows
+    # max|d| 0.225 on phi3 logits (|logits| ~ 30 over a 32-layer 3.8B
+    # stack: ~0.4% bf16 mantissa steps compound to ~1e-2 relative) and
+    # 0.142 on CLIP penultimate features. The bf16 numbers gate REGRESSION
+    # (a real import bug shows up as O(1) deltas in BOTH paths), not
+    # exactness — exactness is the f32 control's job.
+    "module_bf16_max_abs": 0.5,
+    "module_bf16_mean_abs": 0.06,
     "int8_token_agreement": 0.9,
     "int8_mask_iou": 0.95,
     "int4_token_agreement": 0.75,
@@ -218,8 +233,10 @@ def run(args) -> dict:
     with jax.default_device(cpu0):  # composition never lands in HBM
         params = compose_videoglamm_params(sd, cfg, iv_sd, clip_sd)
 
-    dtype = jnp.float32 if args.scale == "tiny" else jnp.bfloat16
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}.get(
+        args.dtype, jnp.float32 if args.scale == "tiny" else jnp.bfloat16)
     model = VideoGLaMM(cfg, dtype=dtype)
+    report["serving_dtype"] = jnp.dtype(dtype).name
     rng = np.random.RandomState(args.seed)
     T, T_sam, S = cfg.num_frames, 2, 24
     ims, cls_, sam_s = (cfg.internvideo.image_size, cfg.clip.image_size,
@@ -245,12 +262,23 @@ def run(args) -> dict:
     missing = [k for k in params if k not in init_shapes]
     fill_rng = np.random.RandomState(args.seed + 1)
 
-    def _fill(sub):  # deterministic stand-in values for unimported modules
-        return jax.tree_util.tree_map(
-            lambda s: jnp.asarray(
-                (fill_rng.standard_normal(s.shape) * 0.02).astype(np.float32)
-                if jnp.issubdtype(s.dtype, jnp.floating)
-                else np.zeros(s.shape, s.dtype)), sub)
+    def _fill(sub):
+        """Deterministic stand-in values for unimported modules, with
+        shape/name-appropriate defaults: norm scales -> ones (N(0, 0.02)
+        scales would kill the signal through any random-init module and
+        silently distort the quant gate), biases -> zeros, matrices ->
+        small normal."""
+        def leaf(path, s):
+            if not jnp.issubdtype(s.dtype, jnp.floating):
+                return jnp.asarray(np.zeros(s.shape, s.dtype))
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name in ("scale", "weight") and len(s.shape) <= 1:
+                return jnp.ones(s.shape, jnp.float32)
+            if name == "bias":
+                return jnp.zeros(s.shape, jnp.float32)
+            return jnp.asarray(
+                (fill_rng.standard_normal(s.shape) * 0.02).astype(np.float32))
+        return jax.tree_util.tree_map_with_path(leaf, sub)
 
     with jax.default_device(cpu0):
         init = {k: (jax.tree_util.tree_map(
@@ -269,16 +297,37 @@ def run(args) -> dict:
     # ---------------------------------------------------- 2. modules ----
     if "modules" in stages:
         mod_reports = {}
+        # serving dtype != f32: every check runs TWICE — an f32 control
+        # (same params, f32 model) gated at the tight import-fidelity
+        # thresholds, plus the serving-dtype run gated at the documented
+        # bf16 drift bounds. A real import/numeric bug shows O(1) deltas in
+        # BOTH paths; bf16 accumulation drift only in the serving path.
+        model_ctrl = (model if dtype == jnp.float32
+                      else VideoGLaMM(cfg, dtype=jnp.float32))
 
-        def check(name, got, want, tol_scale=1.0):
-            d = _delta(got, want)
+        def check(name, want, run_fn, tol_scale=1.0):
+            d = _delta(run_fn(model_ctrl), want)
             d["ok"] = (d["max_abs"] <= THRESHOLDS["module_max_abs"] * tol_scale
                        and d["mean_abs"] <= THRESHOLDS["module_mean_abs"]
                        * tol_scale)
-            mod_reports[name] = d
-            report["ok"] &= d["ok"]
-            print(f"[modules] {name}: max|d|={d['max_abs']:.2e} "
-                  f"mean|d|={d['mean_abs']:.2e} {'OK' if d['ok'] else 'FAIL'}")
+            if dtype == jnp.float32:
+                mod_reports[name] = d
+                report["ok"] &= d["ok"]
+                print(f"[modules] {name}: max|d|={d['max_abs']:.2e} "
+                      f"mean|d|={d['mean_abs']:.2e} "
+                      f"{'OK' if d['ok'] else 'FAIL'}")
+                return
+            s = _delta(run_fn(model), want)
+            s["ok"] = (s["max_abs"] <= THRESHOLDS["module_bf16_max_abs"]
+                       and s["mean_abs"] <= THRESHOLDS["module_bf16_mean_abs"])
+            ok = d["ok"] and s["ok"]
+            mod_reports[name] = {"f32_control": d,
+                                 jnp.dtype(dtype).name: s, "ok": ok}
+            report["ok"] &= ok
+            print(f"[modules] {name}: f32 max|d|={d['max_abs']:.2e} "
+                  f"mean={d['mean_abs']:.2e} {'OK' if d['ok'] else 'FAIL'}; "
+                  f"{jnp.dtype(dtype).name} max|d|={s['max_abs']:.2e} "
+                  f"mean={s['mean_abs']:.2e} {'OK' if s['ok'] else 'FAIL'}")
 
         # Phi-3 logits vs HF (always available)
         from transformers import Phi3Config as HFPhi3Config
@@ -303,11 +352,11 @@ def run(args) -> dict:
         tok_ids = rng.randint(1, lcfg.vocab_size, size=(1, 16))
         with torch.no_grad():
             want = hf(torch.from_numpy(tok_ids)).logits.numpy()
-        got = model.apply(
-            params, jnp.asarray(tok_ids, jnp.int32),
-            jnp.arange(16)[None], jnp.full((1,), 16, jnp.int32),
-            method=lambda mdl, i, p, l: mdl.llm.forward_ids(i, p, l))[0]
-        check("phi3_logits", got, want,
+        check("phi3_logits", want,
+              lambda m: m.apply(
+                  params, jnp.asarray(tok_ids, jnp.int32),
+                  jnp.arange(16)[None], jnp.full((1,), 16, jnp.int32),
+                  method=lambda mdl, i, p, l: mdl.llm.forward_ids(i, p, l))[0],
               tol_scale=5.0 if args.scale != "tiny" else 1.0)
 
         # text_hidden_fcs vs the exported Sequential
@@ -323,9 +372,10 @@ def run(args) -> dict:
             x = rng.randn(3, lcfg.hidden_size).astype(np.float32)
             with torch.no_grad():
                 want = seq(torch.from_numpy(x)).numpy()
-            got = model.apply(params, jnp.asarray(x),
-                              method=lambda mdl, a: mdl.text_hidden_fcs(a))
-            check("text_hidden_fcs", got, want)
+            check("text_hidden_fcs", want,
+                  lambda m: m.apply(params, jnp.asarray(x),
+                                    method=lambda mdl, a:
+                                    mdl.text_hidden_fcs(a)))
 
         # CLIP features vs HF CLIPVisionModel
         if clip_sd is not None:
@@ -351,10 +401,10 @@ def run(args) -> dict:
                         img.transpose(0, 3, 1, 2)),
                         output_hidden_states=True
                     ).hidden_states[-2][:, 1:].numpy()
-                got = model.apply(params, jnp.asarray(img),
-                                  method=lambda mdl, a:
-                                  mdl.image_vision_tower(a))
-                check("clip_features", got, want,
+                check("clip_features", want,
+                      lambda m: m.apply(params, jnp.asarray(img),
+                                        method=lambda mdl, a:
+                                        mdl.image_vision_tower(a)),
                       tol_scale=5.0 if args.scale != "tiny" else 1.0)
             except Exception as e:
                 mod_reports["clip_features"] = {"skipped": str(e)}
@@ -389,19 +439,24 @@ def run(args) -> dict:
                         high_res_features=[torch.from_numpy(s0),
                                            torch.from_numpy(s1)])
                     want = want.numpy()
-                sp_j, dn_j = model.apply(
-                    params, jnp.asarray(text),
-                    method=lambda mdl, t: mdl.sam.sam_prompt_encoder(
-                        points=None, text_embeds=t))
                 hrf = (jnp.asarray(s0.transpose(0, 2, 3, 1)),
                        jnp.asarray(s1.transpose(0, 2, 3, 1)))
-                dec = model.apply(
-                    params, jnp.asarray(feat.transpose(0, 2, 3, 1)), sp_j, dn_j,
-                    method=lambda mdl, f, s, d: mdl.sam.sam_mask_decoder(
-                        f, mdl.sam.sam_prompt_encoder.get_dense_pe(), s, d,
-                        multimask_output=False, high_res_features=hrf,
-                        training=False))
-                check("sam2_mask_decoder", np.asarray(dec.masks), want)
+
+                def run_decoder(m):
+                    sp_j, dn_j = m.apply(
+                        params, jnp.asarray(text),
+                        method=lambda mdl, t: mdl.sam.sam_prompt_encoder(
+                            points=None, text_embeds=t))
+                    dec = m.apply(
+                        params, jnp.asarray(feat.transpose(0, 2, 3, 1)),
+                        sp_j, dn_j,
+                        method=lambda mdl, f, s, d: mdl.sam.sam_mask_decoder(
+                            f, mdl.sam.sam_prompt_encoder.get_dense_pe(), s,
+                            d, multimask_output=False, high_res_features=hrf,
+                            training=False))
+                    return np.asarray(dec.masks)
+
+                check("sam2_mask_decoder", want, run_decoder)
         except Exception as e:
             import traceback
             traceback.print_exc()
@@ -565,6 +620,12 @@ def main(argv=None):
                    help="HF tokenizer dir (required for the eval stage)")
     p.add_argument("--eval_samples", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="", choices=["", "f32", "bf16"],
+                   help="serving dtype override (default: f32 at tiny "
+                        "scale, bf16 at flagship). When the serving dtype "
+                        "is not f32 the modules stage also runs an f32 "
+                        "control with the same params to separate bf16 "
+                        "accumulation drift from import bugs.")
     p.add_argument("--platform", default="cpu",
                    help="jax platform for the harness ('' = ambient "
                         "default; golden deltas use f32-highest matmuls "
