@@ -116,3 +116,67 @@ def test_session_mask_and_box_prompts(sam_and_params):
     assert mb.shape == (B, E4, E4)
     out = sess.propagate_in_video()
     assert out.shape == (B, T, E4, E4)
+
+
+def test_non_overlapping_constraints():
+    """Winner-takes-all across the object axis with suppressed scores
+    clamped to <= -10 (reference sam2_base.py:815-833)."""
+    from videoglamm_tpu.models.sam2.interactive import \
+        apply_non_overlapping_constraints
+    rng = np.random.RandomState(0)
+    m = rng.randn(3, 1, 8, 8).astype(np.float32) * 8
+    out = np.asarray(apply_non_overlapping_constraints(jnp.asarray(m)))
+    win = np.argmax(m, axis=0)                     # [1, 8, 8]
+    for b in range(3):
+        is_win = win[0] == b                       # [8, 8]
+        np.testing.assert_array_equal(out[b, 0][is_win], m[b, 0][is_win])
+        assert (out[b, 0][~is_win] <= -10.0 + 1e-6).all()
+        # already-below scores pass through unclamped
+        low = ~is_win & (m[b, 0] < -10.0)
+        np.testing.assert_array_equal(out[b, 0][low], m[b, 0][low])
+    # single object: identity
+    np.testing.assert_array_equal(
+        np.asarray(apply_non_overlapping_constraints(jnp.asarray(m[:1]))),
+        m[:1])
+
+
+def test_clear_non_cond_mem_session(sam_and_params):
+    """Refinement click with clear_non_cond_mem_around_input drops every
+    non-cond memory in +-(r * num_maskmem) — including the refinement's
+    own just-written output — while cond slots survive
+    (reference preflight, sam2_video_predictor.py:709-714, 1044-1061)."""
+    model, params = sam_and_params
+    T, B, S = 4, 1, SCFG.image_size
+    rng = np.random.RandomState(2)
+    frames = rng.randn(T, S, S, 3).astype(np.float32)
+    sess = SAM2InteractivePredictor(
+        model, params, frames, num_objects=B,
+        clear_non_cond_mem_around_input=True)
+    coords = (rng.rand(B, 1, 2) * S).astype(np.float32)
+    sess.add_new_points(0, coords, np.ones((B, 1), np.int32))
+    sess.propagate_in_video()
+    assert (np.asarray(sess.bank.mem_frame)[1:] >= 0).all()
+    sess.add_new_points(2, coords, np.zeros((B, 1), np.int32))
+    # window covers the whole tiny timeline (r=1, num_maskmem=7)
+    assert (np.asarray(sess.bank.mem_frame) == -1).all()
+    assert (np.asarray(sess.bank.ptr_frame) == -1).all()
+    assert int(sess.bank.cond_frame[0]) == 0          # cond slot untouched
+    out = sess.propagate_in_video(start_frame_idx=2)  # still tracks
+    assert np.isfinite(np.asarray(out[:, 2:])).all()
+
+
+def test_to_video_res_non_overlap(sam_and_params):
+    model, params = sam_and_params
+    T, B, S = 3, 2, SCFG.image_size
+    rng = np.random.RandomState(3)
+    frames = rng.randn(T, S, S, 3).astype(np.float32)
+    sess = SAM2InteractivePredictor(model, params, frames, num_objects=B,
+                                    non_overlap_masks=True)
+    coords = (rng.rand(B, 1, 2) * S).astype(np.float32)
+    sess.add_new_points(0, coords, np.ones((B, 1), np.int32))
+    sess.propagate_in_video()
+    vid = np.asarray(sess.to_video_res((37, 53)))
+    assert vid.shape == (B, T, 37, 53)
+    # the constraint's contract: at most one object above the -10
+    # suppression floor at any location
+    assert ((vid > -10.0).sum(axis=0) <= 1).all()

@@ -298,3 +298,58 @@ def test_refinement_click_golden(models):
 
     got = np.asarray(model.apply(params, method=fn))
     np.testing.assert_allclose(got, sess.masks, atol=5e-3, rtol=5e-3)
+
+
+def test_clear_non_cond_mem_golden(models):
+    """clear_non_cond_mem_around_input: a refinement click pops every
+    non-cond output within +-(r * num_maskmem) of the clicked frame —
+    including the refinement's own just-stored output — before
+    re-propagation (reference preflight :709-714 + _clear_non_cond_mem_
+    around_input :1044-1061). Tracking after the clear runs on cond
+    memories + freshly re-built non-cond only."""
+    ref, model, params = models
+    T, B = 8, 1
+    rng = np.random.RandomState(5)
+    frames = _frames(T, rng)
+    c0 = (rng.rand(B, 1, 2) * CFG.image_size).astype(np.float32)
+    l0 = np.ones((B, 1), np.int64)
+    c4 = (rng.rand(B, 1, 2) * CFG.image_size).astype(np.float32)
+    l4 = np.zeros((B, 1), np.int64)
+
+    sess = RefSession(ref, frames, B)
+    sess.add_points(0, c0, l0)
+    sess.propagate(0)
+    prev4 = sess.output_dict["non_cond_frame_outputs"][4][
+        "pred_masks"].numpy()
+    sess.add_points(4, c4, l4, is_init=False, prev_logits=prev4)
+    # reference clear: pop non-cond outputs in [4 - r*N, 4 + r*N]
+    w = ref.memory_temporal_stride_for_eval * ref.num_maskmem
+    for t in range(4 - w, 4 + w + 1):
+        sess.output_dict["non_cond_frame_outputs"].pop(t, None)
+    sess.propagate(4)
+
+    def fn(mdl):
+        feats, pos = mdl.forward_image(jnp.asarray(frames))
+        bank = ia.init_interactive_bank(mdl, B, T, max_cond_frames=4)
+        f0 = [_per_obj(f[0], B) for f in feats]
+        heads0, bank = ia.add_point_prompt(
+            mdl, f0, pos[-1], bank, 0, jnp.asarray(c0),
+            jnp.asarray(l0.astype(np.int32)), T, cond_slot=0)
+        init = jnp.zeros((B, T) + heads0.low_res_masks.shape[-2:])
+        init = init.at[:, 0].set(heads0.low_res_masks[:, 0])
+        fwd, bank = ia.propagate(mdl, feats, pos, bank, 0, T,
+                                 init_masks=init)
+        f4 = [_per_obj(f[4], B) for f in feats]
+        heads4, bank = ia.add_point_prompt(
+            mdl, f4, pos[-1], bank, 4, jnp.asarray(c4),
+            jnp.asarray(l4.astype(np.int32)), T, cond_slot=None,
+            prev_mask_logits=fwd.low_res_masks[:, 4][..., None])
+        bank = ia.clear_non_cond_mem_around(mdl.cfg, bank, jnp.asarray(4))
+        timeline = fwd.low_res_masks.at[:, 4].set(heads4.low_res_masks[:, 0])
+        pinned = jnp.zeros((T,), bool).at[4].set(True)
+        out, _ = ia.propagate(mdl, feats, pos, bank, 4, T, pinned=pinned,
+                              init_masks=timeline, clear_non_cond=True)
+        return out.low_res_masks
+
+    got = np.asarray(model.apply(params, method=fn))
+    np.testing.assert_allclose(got, sess.masks, atol=5e-3, rtol=5e-3)

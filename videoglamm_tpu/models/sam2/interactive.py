@@ -204,6 +204,38 @@ def assemble_memory_interactive(sam: SAM2Base, bank: InteractiveBank, t,
     return memory, mem_pos, kv_mask, (K + P) * split
 
 
+def apply_non_overlapping_constraints(pred_masks):
+    """Keep only the highest-scoring object at each spatial location across
+    the leading OBJECT axis, clamping suppressed scores to <= -10
+    (sigmoid(-10) ~ 4.5e-5) — reference _apply_non_overlapping_constraints
+    (sam2_base.py:815-833). Single-object input returns unchanged."""
+    B = pred_masks.shape[0]
+    if B == 1:
+        return pred_masks
+    max_idx = jnp.argmax(pred_masks, axis=0, keepdims=True)
+    keep = max_idx == jnp.arange(B).reshape(
+        (B,) + (1,) * (pred_masks.ndim - 1))
+    return jnp.where(keep, pred_masks, jnp.minimum(pred_masks, -10.0))
+
+
+def clear_non_cond_mem_around(cfg, bank: InteractiveBank, t):
+    """Invalidate non-cond memories (and their object pointers) within
+    +-(memory_temporal_stride_for_eval * num_maskmem) frames of t —
+    reference _clear_non_cond_mem_around_input
+    (sam2_video_predictor.py:1044-1061). The window is INCLUSIVE of t
+    itself: a refinement's own just-written non-cond output is popped too,
+    exactly as the reference pops every t in [begin, end]. Cond-slot
+    memories are untouched (the reference only pops non_cond_frame_outputs).
+    Ring contents stay in place; validity lives in the frame indices."""
+    T = bank.mem_frame.shape[0]
+    w = cfg.memory_temporal_stride_for_eval * cfg.num_maskmem
+    idx = jnp.arange(T)
+    inwin = (idx >= t - w) & (idx <= t + w)
+    return bank._replace(
+        mem_frame=jnp.where(inwin, -1, bank.mem_frame),
+        ptr_frame=jnp.where(inwin, -1, bank.ptr_frame))
+
+
 def _use_multimask(cfg, is_init: bool, num_pts: int) -> bool:
     """Reference _use_multimask (sam2_base.py:806-814); num_pts is static
     here (prompt arrays are fixed-shape, padding labels count)."""
@@ -370,7 +402,8 @@ def add_text_prompt(sam: SAM2Base, feats_t, pos_top, bank: InteractiveBank,
 
 def propagate(sam: SAM2Base, feats, pos, bank: InteractiveBank, start,
               num_frames: int, reverse: bool = False, end=None,
-              pinned=None, init_masks=None, init_scores=None
+              pinned=None, init_masks=None, init_scores=None,
+              clear_non_cond: bool = False
               ) -> Tuple[PropagateResult, InteractiveBank]:
     """Propagate through the video from `start` (reference
     propagate_in_video, sam2_video_predictor.py:744-827) as ONE lax.scan
@@ -413,6 +446,15 @@ def propagate(sam: SAM2Base, feats, pos, bank: InteractiveBank, start,
             (t >= start) & (t <= end)
         is_cond = jnp.any(bank.cond_frame == t)
         run = active & ~is_cond & ~pin
+        if clear_non_cond:
+            # visiting a cond frame in processing order drops the stale
+            # non-cond memories around it before later frames read them
+            # (reference propagate_in_video, :762-796)
+            cleared = clear_non_cond_mem_around(cfg, bank, t)
+            do = is_cond & active
+            bank = bank._replace(
+                mem_frame=jnp.where(do, cleared.mem_frame, bank.mem_frame),
+                ptr_frame=jnp.where(do, cleared.ptr_frame, bank.ptr_frame))
 
         memory, mem_pos, kv_mask, n_ptr = assemble_memory_interactive(
             sam, bank, t, num_frames, reverse)
@@ -461,14 +503,27 @@ class SAM2InteractivePredictor:
     """
 
     def __init__(self, model: SAM2Base, params, frames,
-                 num_objects: int = 1, max_cond_frames: int = 8):
+                 num_objects: int = 1, max_cond_frames: int = 8,
+                 non_overlap_masks: bool = False,
+                 clear_non_cond_mem_around_input: bool = False,
+                 clear_non_cond_mem_for_multi_obj: bool = False):
         """frames: [T, S, S, 3] SAM-normalized (data/preprocess.py or
         ops/preprocess.py). Features for ALL frames are encoded once up
         front (the reference decodes+encodes lazily per frame; one batch
-        encode is the TPU-friendly layout for propagation-heavy use)."""
+        encode is the TPU-friendly layout for propagation-heavy use).
+
+        The three config edges mirror SAM2VideoPredictor.__init__
+        (sam2_video_predictor.py:22-36, default off there too):
+        non_overlap_masks applies the per-pixel winner-takes-all constraint
+        in to_video_res; clear_non_cond_mem_around_input drops stale
+        non-cond memories around prompted frames (single-object only,
+        unless clear_non_cond_mem_for_multi_obj)."""
         self.model = model
         self.params = params
         self.B = num_objects
+        self.non_overlap_masks = non_overlap_masks
+        self._clear_mem = clear_non_cond_mem_around_input and (
+            clear_non_cond_mem_for_multi_obj or num_objects <= 1)
         self.T = int(frames.shape[0])
         self._jit_cache = {}
         feats, pos = jax.jit(lambda p, a: model.apply(
@@ -513,7 +568,8 @@ class SAM2InteractivePredictor:
                 return model.apply(params, method=lambda mdl: propagate(
                     mdl, feats, pos, bank, start, T,
                     reverse=static["reverse"], end=end, pinned=pinned,
-                    init_masks=init_m))
+                    init_masks=init_m,
+                    clear_non_cond=static.get("clear", False)))
         else:
             raise ValueError(kind)
         fn = jax.jit(raw)
@@ -583,6 +639,12 @@ class SAM2InteractivePredictor:
             prev if prev is not None else self._dummy_prev(),
             jnp.asarray(active) if active is not None
             else jnp.ones((self.B,), bool))
+        if self._clear_mem:
+            # consolidation clears stale non-cond memories around every
+            # prompted frame (preflight, sam2_video_predictor.py:709-714) —
+            # inclusive of the frame's own just-written refinement output
+            self.bank = clear_non_cond_mem_around(
+                self.model.cfg, self.bank, jnp.asarray(frame_idx))
         self._store(frame_idx, heads, fresh=slot is not None)
         return heads.low_res_masks[:, 0]
 
@@ -636,9 +698,25 @@ class SAM2InteractivePredictor:
             self.model.bind(self.params), self.feats, self.pos, self.bank,
             jnp.asarray(start), self.T, reverse=reverse,
             end=jnp.asarray(end), pinned=jnp.asarray(pinned),
-            init_masks=self.masks)
+            init_masks=self.masks, clear_non_cond=self._clear_mem)
         self.masks = res.low_res_masks
         lo, hi = (end, start) if reverse else (start, end)
         for t in range(int(lo), int(hi) + 1):
             self.tracked.setdefault(t, {"reverse": reverse})
         return res.low_res_masks
+
+    def to_video_res(self, orig_hw: Tuple[int, int], masks=None):
+        """Upsample mask logits to the original video resolution, applying
+        the non-overlapping constraint across objects when enabled —
+        reference _get_orig_video_res_output
+        (sam2_video_predictor.py:497-518). masks defaults to the session
+        timeline [B, T, 4E, 4E]; returns [B, T, H, W] logits."""
+        from ...ops.resize import resize_bilinear
+        m = self.masks if masks is None else masks
+        B, T = m.shape[:2]
+        up = resize_bilinear(m.reshape((B * T,) + m.shape[2:])[..., None],
+                             tuple(orig_hw))[..., 0]
+        up = up.reshape((B, T) + tuple(orig_hw))
+        if self.non_overlap_masks:
+            up = apply_non_overlapping_constraints(up)
+        return up
