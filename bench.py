@@ -55,6 +55,13 @@ BATCH = int(os.environ.get("BENCH_BATCH", "1") or 1)
 # ~1.3 GB/step decode cache stream and cache residency. BENCH_KV8=0
 # reverts to the bf16 cache.
 KV8 = os.environ.get("BENCH_KV8", "1") == "1"
+# BENCH_TRACK=1 routes the mask stage through the VIDEO-BRANCH tracking
+# path (reference inference_video_branch, VideoGLaMM.py:770-879 /
+# sam2_video_predictor.py:744-827): every [SEG] object is prompted on
+# frame 0 and propagated across ALL NUM_FRAMES frames with memory
+# attention (one lax.scan), instead of the framewise per-frame decode of
+# the default GCG protocol. Batch-1 only (per-video path).
+TRACK = os.environ.get("BENCH_TRACK") == "1"
 
 NUM_FRAMES = 16
 T_SAM = 8
@@ -73,6 +80,8 @@ def main():
     from videoglamm_tpu.inference.pipeline import extract_seg_from_generation
     from videoglamm_tpu.models import VideoGLaMM
 
+    assert not (TRACK and BATCH > 1), \
+        "BENCH_TRACK is the per-video (batch-1) tracking path"
     cfg = VideoGLaMMConfig.flagship()
     model = VideoGLaMM(cfg, dtype=jnp.bfloat16, quant_llm_int8=INT8,
                        quant_llm_int4=INT4, quant_kv_int8=KV8)
@@ -118,8 +127,9 @@ def main():
         frames = preprocess_iv_stream(raw_frames, dtype=jnp.bfloat16)
         context_images = preprocess_clip_stream(raw_frames,
                                                 dtype=jnp.bfloat16)
-        frames_sam = preprocess_sam_stream(raw_frames[:, sam_idx],
-                                           dtype=jnp.bfloat16)
+        frames_sam = preprocess_sam_stream(
+            raw_frames if TRACK else raw_frames[:, sam_idx],
+            dtype=jnp.bfloat16)
         visual = model.apply(
             params, frames, context_images,
             method=lambda mdl, a, b: mdl.encode_visual_prefix(a, b))
@@ -127,13 +137,20 @@ def main():
             model, params, visual, input_ids, text_lens,
             max_new_tokens=MAX_NEW, eos_id=32000, draft_k=draft_k)
         seg = extract_seg_from_generation(model, params, gen)
-        sam_feats, _ = model.apply(
-            params, frames_sam,
-            method=lambda mdl, a: mdl.encode_sam_features(a))
-        masks = model.apply(
-            params, sam_feats, seg, jnp.arange(BATCH, dtype=jnp.int32),
-            method=lambda mdl, f, s, v: mdl.decode_masks(
-                f, s, v, training=False))
+        if TRACK:
+            # memory-attention propagate over the full clip (frames_sam
+            # here is ALL NUM_FRAMES frames; batch-1 per-video path)
+            masks = model.apply(
+                params, frames_sam[0], seg.embeds[0],
+                method=lambda mdl, f, s: mdl.track_masks(f, s))
+        else:
+            sam_feats, _ = model.apply(
+                params, frames_sam,
+                method=lambda mdl, a: mdl.encode_sam_features(a))
+            masks = model.apply(
+                params, sam_feats, seg, jnp.arange(BATCH, dtype=jnp.int32),
+                method=lambda mdl, f, s, v: mdl.decode_masks(
+                    f, s, v, training=False))
         # scalar dependency on every stage so one readback syncs the clip
         return (masks.astype(jnp.float32).sum()
                 + gen.tokens.sum().astype(jnp.float32))
@@ -190,6 +207,8 @@ def main():
                   + (" [int8 KV]" if KV8 else "")
                   + (f" [spec-decode K={SPEC}, projected at replay "
                      f"accept-rate]" if SPEC else "")
+                  + (f" [tracking path, {NUM_FRAMES}-frame propagate]"
+                     if TRACK else "")
                   + (f" [batch={BATCH} throughput mode]" if BATCH > 1 else ""),
         "value": round(fps, 2),
         "unit": "frames/s/chip",

@@ -127,11 +127,15 @@ class SAM2ImagePredictor:
         self._is_image_set = True
         self._is_batch = True
 
-    def get_image_embedding(self):
-        """Top-level image embedding [B, E, E, C] (channel-last; the
-        reference returns [B, C, E, E])."""
+    def get_image_embedding(self, channels_first: bool = False):
+        """Top-level image embedding. DEFAULT LAYOUT DIVERGES FROM THE
+        REFERENCE: channels-last [B, E, E, C] (the TPU-native layout every
+        internal consumer uses); the reference returns [B, C, E, E]. Code
+        ported from the reference should pass channels_first=True to get
+        the torch layout explicitly."""
         assert self._is_image_set, "call set_image first"
-        return self._features[2]
+        emb = self._features[2]
+        return jnp.moveaxis(emb, -1, 1) if channels_first else emb
 
     # ------------------------------------------------------------------
     def _prep_prompts(self, point_coords, point_labels, box, mask_input,
