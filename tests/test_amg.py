@@ -165,11 +165,16 @@ def _stub_torchvision_ops():
     tv = sys.modules["torchvision"]
     ops = types.ModuleType("torchvision.ops")
     bx = types.ModuleType("torchvision.ops.boxes")
-    bx.batched_nms, bx.box_area, bx.nms = batched_nms, box_area, nms
     ops.boxes = bx
     tv.ops = ops
     sys.modules.setdefault("torchvision.ops", ops)
     sys.modules.setdefault("torchvision.ops.boxes", bx)
+    # overwrite attrs on whichever module object is registered — an earlier
+    # None-stub (test_sam1_golden._load_ref) must gain the real functions
+    mod = sys.modules["torchvision.ops.boxes"]
+    mod.batched_nms, mod.box_area, mod.nms = batched_nms, box_area, nms
+    sys.modules["torchvision.ops"].boxes = mod
+    sys.modules["torchvision"].ops = sys.modules["torchvision.ops"]
 
 
 def _build_ref_amg(ref, **kw):

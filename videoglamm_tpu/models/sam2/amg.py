@@ -199,10 +199,8 @@ class SAM2AutomaticMaskGenerator:
                                 points_per_side, crop_n_layers,
                                 crop_n_points_downscale_factor))
         assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle")
-        self.predictor = SAM2ImagePredictor(
-            model, params, mask_threshold=mask_threshold,
-            max_hole_area=min_mask_region_area,
-            max_sprinkle_area=min_mask_region_area)
+        self.predictor = self._make_predictor(model, params, mask_threshold,
+                                              min_mask_region_area)
         self.model = model
         self.params = params
         self.points_per_batch = points_per_batch
@@ -220,6 +218,24 @@ class SAM2AutomaticMaskGenerator:
         self.use_m2m = use_m2m
         self.multimask_output = multimask_output
         self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    # overridable hooks (the SAM-1 twin swaps these,
+    # models/sam1_predictor.py)
+    # ------------------------------------------------------------------
+    def _make_predictor(self, model, params, mask_threshold,
+                        min_mask_region_area):
+        return SAM2ImagePredictor(
+            model, params, mask_threshold=mask_threshold,
+            max_hole_area=min_mask_region_area,
+            max_sprinkle_area=min_mask_region_area)
+
+    def _model_coords(self, points: np.ndarray, im_size) -> np.ndarray:
+        """Pixel coords in the (cropped) image -> model space. SAM-2:
+        normalize by the image size, scale by the square model resolution
+        (transforms.py:44-72)."""
+        ch, cw = im_size
+        return (points / np.array([cw, ch])) * self.model.cfg.image_size
 
     # ------------------------------------------------------------------
     # fused device programs
@@ -338,12 +354,17 @@ class SAM2AutomaticMaskGenerator:
             data = _filter(data, keep)
         return data
 
+    def _crop_features(self):
+        """Features for the decode program, as the 3-tuple _decode_fn
+        consumes (the SAM-1 twin adapts its single embedding here)."""
+        return self.predictor._features
+
     def _process_crop(self, image, crop_box, layer_idx, orig_size):
         x0, y0, x1, y1 = crop_box
         crop = image[y0:y1, x0:x1, :]
         ch, cw = crop.shape[:2]
         self.predictor.set_image(crop)
-        feats = self.predictor._features  # device arrays, stay on device
+        feats = self._crop_features()  # device arrays, stay on device
 
         pts = self.point_grids[layer_idx] * np.array([cw, ch])[None]
         P = self.points_per_batch
@@ -374,11 +395,9 @@ class SAM2AutomaticMaskGenerator:
                        feats):
         ch, cw = im_size
         orig_h, orig_w = orig_size
-        size = self.model.cfg.image_size
         P = len(points)
-        coords = jnp.asarray(
-            (points / np.array([cw, ch])) * size,
-            jnp.float32)[:, None, :]
+        coords = jnp.asarray(self._model_coords(points, im_size),
+                             jnp.float32)[:, None, :]
         h0, h1, embed = feats
 
         low, ious = self._decode_fn(P, self.multimask_output, False)(
@@ -392,9 +411,8 @@ class SAM2AutomaticMaskGenerator:
         if self.use_m2m:
             # one refinement round: each candidate's clamped low-res logits
             # feed back as the dense prompt for its own point, single-mask
-            r_coords = jnp.asarray(
-                (pts_rep / np.array([cw, ch])) * size,
-                jnp.float32)[:, None, :]
+            r_coords = jnp.asarray(self._model_coords(pts_rep, im_size),
+                                   jnp.float32)[:, None, :]
             ref_fn = self._decode_fn(P, False, True)
             lows, ious_l = [], []
             for s in range(0, N, P):
