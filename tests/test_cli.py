@@ -70,6 +70,7 @@ def test_gcg_metrics_cli(tmp_path, capsys):
     assert out["recall"] == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_chat_run_once_tiny():
     import jax
     import jax.numpy as jnp

@@ -64,6 +64,7 @@ COMP = VideoGLaMMConfig.tiny(num_frames=4)
 COMP = COMP.__class__(**{**COMP.__dict__, "sam2": SAM_TINY})
 
 
+@pytest.mark.slow
 def test_composite_import_and_run():
     import torch
     sd, fcs = _build_reference_layout_state_dict(COMP)

@@ -156,6 +156,7 @@ def test_vqa_dataset(tmp_path):
     assert rec["masks"] is None
 
 
+@pytest.mark.slow
 def test_hybrid_to_train_step(gcg_root, mevis_root):
     """Full integration: hybrid mixture -> collate -> tiny-model step."""
     import jax

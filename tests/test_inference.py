@@ -101,6 +101,7 @@ def test_pipeline_end_to_end(setup):
                 assert np.all(pm[b, s] <= -1e3)
 
 
+@pytest.mark.slow
 def test_pipeline_sharded_over_mesh(setup, mesh8):
     """Grounded inference with params sharded over the 4x2 (data, model)
     mesh — GSPMD propagates shardings through encode/prefill/decode/SAM

@@ -34,6 +34,7 @@ def _clip(model, params, batch, max_new=12):
     return np.asarray(gen.tokens), np.asarray(masks)
 
 
+@pytest.mark.slow
 def test_int8_generation_and_mask_parity():
     from videoglamm_tpu.io.import_torch import quantize_videoglamm_llm
 

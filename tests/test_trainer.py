@@ -97,6 +97,7 @@ def test_validate_mevis_math_and_dump(tmp_path):
     assert set(np.unique(arr)) <= {0, 255}
 
 
+@pytest.mark.slow
 def test_trainer_val_fn_hook(tmp_path):
     model = VideoGLaMM(CFG, dtype=jnp.float32)
     batch = make_batch(np.random.RandomState(0))

@@ -31,6 +31,7 @@ def test_trainable_mask_matches_reference_policy():
     assert not any("qkv_proj" in p for p in on)
 
 
+@pytest.mark.slow
 def test_train_step_updates_only_trainable(mesh8):
     tcfg = TrainConfig(lr=1e-3, warmup_steps=1, total_steps=10)
     model = VideoGLaMM(CFG, dtype=jnp.float32, lora_rank=2)
@@ -66,6 +67,7 @@ def test_train_step_updates_only_trainable(mesh8):
     assert n_frozen_changed == 0
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_single_step():
     """grad_accum=2 over two micro-batches == one step on the concatenated
     batch (masked accumulator: frozen leaves carry scalar zeros)."""

@@ -126,6 +126,7 @@ def test_track_video_shapes(sam_and_params):
     assert not np.allclose(np.asarray(res.ious)[0], np.asarray(res.ious)[1])
 
 
+@pytest.mark.slow
 def test_composite_track_masks():
     model = VideoGLaMM(CFG, dtype=jnp.float32)
     batch = make_batch(np.random.RandomState(0))

@@ -123,6 +123,7 @@ def test_mask_loss_ignores_padded_slots():
     np.testing.assert_allclose(got_bce, ref_bce, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_frozen_towers_get_no_grad(model_params_batch):
     model, params, batch = model_params_batch
 
