@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
 
@@ -105,6 +106,18 @@ def main(argv=None):
         "recall": tp / ap if ap else 0.0,
         "n_videos": len(mious),
     }
+    if not args.bert:
+        # the reference protocol matches phrases by BERT cosine
+        # (eval_gcg_metrics.py:99-177); token-overlap recall is NOT
+        # comparable to published numbers — label it so nobody quotes it
+        out["recall_similarity"] = ("token_overlap_f1 (NOT the reference "
+                                    "BERT-cosine protocol; rerun with "
+                                    "--bert for comparable recall)")
+        print("[warn] recall computed with token-overlap fallback — not "
+              "protocol-comparable; use --bert with bert-base-uncased "
+              "weights for the reference protocol", file=sys.stderr)
+    else:
+        out["recall_similarity"] = "bert_cosine (reference protocol)"
     gts = {i: [c] for i, c in enumerate(gt_caps)}
     rs = {i: [c] for i, c in enumerate(pred_caps)}
     try:
