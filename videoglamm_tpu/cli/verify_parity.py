@@ -193,10 +193,14 @@ def run(args) -> dict:
     from ..io.import_torch import quantize_videoglamm_llm
     from ..models import VideoGLaMM
 
-    # golden activation comparisons need true-f32 matmuls: the default
-    # matmul precision costs ~1e-2 max deltas on CPU/TPU (measured; the
-    # test conftest sets the same flag)
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # Golden activation comparisons need true-f32 matmuls (the default
+    # matmul precision costs ~1e-2 max deltas on CPU/TPU, measured; the
+    # test conftest sets the same flag) — but ONLY the oracle-delta stage:
+    # the quant stage measures SERVING behavior and must run at serving
+    # precision (a global "highest" also forces fp32 contract precision
+    # into the Pallas kernels' bf16 dots, which Mosaic rejects on TPU —
+    # the r5 parity_quant failure mode).
+    highest = jax.default_matmul_precision("highest")
 
     report = {"stages": {}, "ok": True}
     stages = set(s for s in args.stages.split(",") if s)
@@ -296,6 +300,9 @@ def run(args) -> dict:
 
     # ---------------------------------------------------- 2. modules ----
     if "modules" in stages:
+        import contextlib
+        _prec = contextlib.ExitStack()
+        _prec.enter_context(highest)  # f32-highest for oracle deltas only
         mod_reports = {}
         # serving dtype != f32: every check runs TWICE — an f32 control
         # (same params, f32 model) gated at the tight import-fidelity
@@ -464,6 +471,7 @@ def run(args) -> dict:
             print(f"[modules] sam2_mask_decoder skipped: {e}")
 
         report["stages"]["modules"] = mod_reports
+        _prec.close()  # back to serving precision for the quant stage
 
     # ---------------------------------------------------- 3. quant ----
     def clip_run(m, p):
