@@ -173,3 +173,34 @@ def test_composite_with_llama_base():
         batch["text_lens"], max_new_tokens=4, eos_id=3)
     assert gen.tokens.shape == (2, 4)
     assert np.isfinite(np.asarray(gen.hidden)).all()
+
+
+def test_sam_chunked_encode_matches_per_frame(model_params_batch):
+    """VGT_SAM_CHUNK>1 is a pure batching change: same math per frame,
+    but XLA fuses/accumulates batched convs differently, so the contract
+    is f32-noise tolerance, not bitwise."""
+    import os
+    model, params, batch = model_params_batch
+    frames = batch["frames_sam"][:1]          # [1, T_sam, S, S, 3]
+    T = frames.shape[1]
+    if T < 2:
+        import pytest
+        pytest.skip("needs >=2 SAM frames")
+
+    def run():
+        return model.apply(params, frames,
+                           method=lambda mdl, a: mdl.encode_sam_features(a))
+
+    os.environ["VGT_SAM_CHUNK"] = "1"
+    f1, _ = run()
+    os.environ["VGT_SAM_CHUNK"] = str(T)
+    fT, _ = run()
+    os.environ["VGT_SAM_CHUNK"] = "2" if T % 2 == 0 else "1"
+    f2, _ = run()
+    os.environ.pop("VGT_SAM_CHUNK", None)
+    for a, b in zip(f1, fT):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+    for a, b in zip(f1, f2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)

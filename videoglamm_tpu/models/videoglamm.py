@@ -166,24 +166,34 @@ class VideoGLaMM(nn.Module):
     # ------------------------------------------------------------------
     def sam_image_features_chunked(self, images):
         """images: [N, S, S, 3] -> (feats, pos). Frames run through the
-        Hiera encoder one at a time under nn.scan: the smaller working set
-        pipelines ~25% faster than one big batch at 1024^2 (measured
-        479 -> 366 ms for 8 flagship frames), and the scan keeps ONE
-        compiled encoder body."""
+        Hiera encoder VGT_SAM_CHUNK at a time under nn.scan. Default 1:
+        the r5 sweep at 8 flagship frames WITH the fused-block kernels
+        still favors per-frame (chunk 1: 197 ms, 2: 208, 4: 218, 8: 221 —
+        sweep harness adds ~20 ms of per-iter sync vs the in-pipeline
+        stage wall of 174 ms; ordering is the signal) — the smaller
+        working set pipelines better than batch amortization of program
+        launches, confirming the pre-fusion measurement (479 -> 366 ms).
+        The scan keeps ONE compiled encoder body either way."""
+        import os
         N = images.shape[0]
         if N == 1 or self.is_initializing():
             return self.sam.forward_image(images)
+        c = int(os.environ.get("VGT_SAM_CHUNK", "1"))
+        if c < 1 or N % c:
+            c = 1
+        if c == N:
+            return self.sam.forward_image(images)
 
-        xs = images.reshape((N, 1) + images.shape[1:])
+        xs = images.reshape((N // c, c) + images.shape[1:])
 
         def body(mdl, carry, xb):
             feats, pos = mdl.sam.forward_image(xb)
-            return carry, (tuple(f[0] for f in feats), tuple(pos))
+            return carry, (tuple(feats), tuple(pos))
 
         _, (feats, pos) = nn.scan(
             body, variable_broadcast="params",
             split_rngs={"params": False})(self, 0, xs)
-        feats = [f for f in feats]
+        feats = [f.reshape((N,) + f.shape[2:]) for f in feats]
         pos = [p[0] for p in pos]   # sine grids are frame-invariant
         return feats, pos
 
