@@ -237,3 +237,52 @@ def test_amg_golden():
         assert iou > 0.97, f"mask IoU {iou:.3f} at point {key(g)}"
         np.testing.assert_allclose(g["bbox"], w["bbox"], atol=3)
         assert g["crop_box"] == [float(v) for v in w["crop_box"]]
+
+
+@pytest.mark.golden
+@pytest.mark.slow
+def test_amg_golden_m2m_and_crops():
+    """Crop layers + m2m refinement vs the reference generator. Candidate
+    sets can differ at the crop-edge-filter boundary (binarization noise
+    shifts int boxes a few px around the atol=20 bucket), so the contract
+    is: near-identical candidate counts and high mask IoU for point-matched
+    pairs."""
+    import torch
+    from videoglamm_tpu.io.import_torch import import_sam2
+    from ref_sam2 import build_reference_sam2
+
+    ref = build_reference_sam2(CFG)
+    kw = dict(points_per_side=3, points_per_batch=8, pred_iou_thresh=0.0,
+              stability_score_thresh=0.0, box_nms_thresh=1.0,
+              crop_n_layers=1, crop_nms_thresh=1.0, use_m2m=True,
+              multimask_output=False)
+    ref_amg = _build_ref_amg(ref, **kw)
+
+    model = SAM2Base(CFG, dtype=jnp.float32)
+    params = {"params": import_sam2(ref.state_dict(), CFG)}
+    gen = SAM2AutomaticMaskGenerator(model, params, **kw)
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(61, 83, 3), dtype=np.uint8)
+    with torch.no_grad():
+        want = ref_amg.generate(img)
+    got = gen.generate(img)
+    assert abs(len(got) - len(want)) <= max(2, len(want) // 20), \
+        (len(got), len(want))
+
+    def key(a):
+        return (round(a["point_coords"][0][0], 2),
+                round(a["point_coords"][0][1], 2),
+                tuple(a["crop_box"]))
+
+    gmap = {key(a): a for a in got}
+    wmap = {key(a): a for a in want}
+    common = set(gmap) & set(wmap)
+    assert len(common) >= min(len(got), len(want)) - 2
+    for k in common:
+        g, w = gmap[k], wmap[k]
+        gm, wm = g["segmentation"], w["segmentation"]
+        union = (gm | wm).sum()
+        iou = (gm & wm).sum() / union if union else 1.0
+        assert iou > 0.95, f"mask IoU {iou:.3f} at {k}"
+        assert abs(g["predicted_iou"] - w["predicted_iou"]) < 3e-2
