@@ -11,6 +11,11 @@ def _stub(name, **attrs):
     if name in sys.modules:
         return sys.modules[name]
     m = types.ModuleType(name)
+    # a registered module with __spec__=None breaks importlib.util.find_spec
+    # for every LATER importer (transformers' dependency probe raises
+    # "torchvision.__spec__ is None") — give stubs a real spec
+    import importlib.machinery
+    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
     for k, v in attrs.items():
         setattr(m, k, v)
     sys.modules[name] = m

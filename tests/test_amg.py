@@ -165,6 +165,9 @@ def _stub_torchvision_ops():
     tv = sys.modules["torchvision"]
     ops = types.ModuleType("torchvision.ops")
     bx = types.ModuleType("torchvision.ops.boxes")
+    import importlib.machinery
+    for m in (ops, bx):
+        m.__spec__ = importlib.machinery.ModuleSpec(m.__name__, None)
     ops.boxes = bx
     tv.ops = ops
     sys.modules.setdefault("torchvision.ops", ops)

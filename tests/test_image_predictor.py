@@ -121,8 +121,21 @@ def _stub_torchvision():
 
     tr.ToTensor, tr.Resize, tr.Normalize = ToTensor, Resize, Normalize
     tv.transforms = tr
+    import importlib.machinery
+    for m in (tv, tr):
+        # real __spec__: transformers' find_spec probe raises on registered
+        # modules whose __spec__ is None
+        m.__spec__ = importlib.machinery.ModuleSpec(m.__name__, None)
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.transforms", tr)
+    # if an earlier stub is already registered, make sure it carries the
+    # transform classes this oracle needs
+    reg = sys.modules["torchvision.transforms"]
+    for k, v in (("ToTensor", ToTensor), ("Resize", Resize),
+                 ("Normalize", Normalize)):
+        if getattr(reg, k, None) is None:
+            setattr(reg, k, v)
+    sys.modules["torchvision"].transforms = reg
 
 
 @pytest.mark.golden

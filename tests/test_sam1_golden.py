@@ -35,6 +35,10 @@ def _load_ref():
                                                    "to_pil_image": None})]:
         if name not in sys.modules:
             m = types.ModuleType(name)
+            # real __spec__: transformers' find_spec probe raises on
+            # registered modules whose __spec__ is None
+            import importlib.machinery
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
             for k, v in attrs.items():
                 setattr(m, k, v)
             sys.modules[name] = m

@@ -119,9 +119,24 @@ def _install_tv_shims():
 
     tf = sys.modules["torchvision.transforms.functional"]
     tf.resize, tf.to_pil_image = resize, to_pil_image
+    # the reference transforms module may ALREADY be imported with the
+    # earlier None-stub bound into its namespace (`from torchvision...
+    # import resize` at import time) — patch the bound names too
+    rtf = sys.modules.get("model.segment_anything.utils.transforms")
+    if rtf is not None:
+        rtf.resize, rtf.to_pil_image = resize, to_pil_image
 
     from test_amg import _stub_torchvision_ops
     _stub_torchvision_ops()
+    # same late-binding hazard for NMS: reference AMG modules imported
+    # earlier (package __init__ side effects) carry whatever batched_nms
+    # was registered at that moment
+    bx = sys.modules["torchvision.ops.boxes"]
+    for name in ("model.segment_anything.automatic_mask_generator",
+                 "model.segment_anything_2.sam2.automatic_mask_generator"):
+        m = sys.modules.get(name)
+        if m is not None:
+            m.batched_nms, m.box_area = bx.batched_nms, bx.box_area
 
 
 def _build_ref_sam():
